@@ -1,0 +1,109 @@
+"""Anserini-equivalent English analyzer chain, Spark-first.
+
+Chain (reference: `analysis/DefaultEnglishAnalyzer.java:51-74`):
+
+    StandardTokenizer (UAX#29 word-break)
+      -> EnglishPossessiveFilter  (strip trailing 's)
+      -> LowerCaseFilter
+      -> StopFilter               (Lucene English stop set, 33 words)
+      -> PorterStemFilter         (original Porter)
+
+Implemented from scratch for vectorized execution: the tokenizer is a
+single compiled regex approximating UAX#29 word segmentation for
+Latin-script web text (the corpus is `lang == 'en'`):
+
+* runs of word characters (letters / digits / underscore) form tokens;
+* ``'`` / ``’`` and ``.`` do not break letter-letter boundaries
+  (UAX#29 MidNumLet / Single_Quote: ``can't``, ``example.com`` are one
+  token each — matching Lucene's StandardTokenizer);
+* ``,`` and ``.`` do not break digit-digit boundaries (``3.14``,
+  ``1,000``);
+* everything else (hyphens, slashes, whitespace, punctuation) breaks.
+
+Tokens longer than 255 chars are dropped (StandardTokenizer's
+maxTokenLength discards over-long runs).
+
+The whole chain runs inside an Arrow-batched pandas UDF
+(`analyze_udf`) — no per-row Python in the Spark plan. A plain-Python
+`analyze()` is exposed for query-side (driver) use, mirroring
+`analysis/AnalyzerUtils.java:31-55`.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable, List
+
+import pandas as pd
+
+from .porter import porter_stem
+from .stopwords import ENGLISH_STOP_WORDS
+
+# UAX#29-ish word regex for Latin web text. \w in Python3 re is
+# unicode-aware (letters, digits, underscore).
+_TOKEN_RE = re.compile(
+    r"""
+    \w+                       # initial run of word chars
+    (?:
+        ['’.]\w+         # '  /  '  /  .  joining two word chars
+      | ,(?=\d)\d+            # ,  joining digits (1,000)
+    )*
+    """,
+    re.VERBOSE | re.UNICODE,
+)
+
+_POSSESSIVE_RE = re.compile(r"['’][sS]$")
+
+_MAX_TOKEN_LEN = 255
+
+
+def tokenize(text: str) -> List[str]:
+    """UAX#29-style word segmentation (see module docstring)."""
+    if not text:
+        return []
+    return [t for t in _TOKEN_RE.findall(text) if len(t) <= _MAX_TOKEN_LEN]
+
+
+def analyze(text: str, stem: str = "porter", keep_stopwords: bool = False) -> List[str]:
+    """Full chain: tokenize -> possessive strip -> lowercase -> stop -> stem.
+
+    ``stem`` in {"porter", "none"}; ``keep_stopwords`` mirrors
+    `-keepStopwords` (`IndexCollection.java:746-748`).
+    """
+    out: List[str] = []
+    for tok in tokenize(text):
+        tok = _POSSESSIVE_RE.sub("", tok)
+        tok = tok.lower()
+        if not tok:
+            continue
+        if not keep_stopwords and tok in ENGLISH_STOP_WORDS:
+            continue
+        if stem == "porter":
+            tok = porter_stem(tok)
+        out.append(tok)
+    return out
+
+
+def analyze_series(texts: pd.Series, stem: str = "porter",
+                   keep_stopwords: bool = False) -> pd.Series:
+    """Vectorized (batch) form used inside pandas UDFs."""
+    return texts.map(
+        lambda t: analyze(t if isinstance(t, str) else "", stem, keep_stopwords)
+    )
+
+
+def make_analyze_udf(stem: str = "porter", keep_stopwords: bool = False):
+    """Returns a pandas UDF ``string -> array<string>`` running the chain
+    JVM->Arrow-batched (no per-row Python dispatch in the plan)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _analyze(texts: pd.Series) -> pd.Series:
+        return analyze_series(texts, stem=stem, keep_stopwords=keep_stopwords)
+
+    return _analyze
+
+
+def analyze_queries(queries: Iterable[str], **kw) -> List[List[str]]:
+    """Driver-side batch analysis for (tiny) query sets."""
+    return [analyze(q, **kw) for q in queries]

@@ -1,0 +1,165 @@
+"""Posting-block build/decode kernels (numpy, fully vectorized).
+
+A "block" is up to ``BLOCK_SIZE`` (128, like Lucene's postings format)
+consecutive (doc_id, tf) postings of one (term, segment), sorted by
+doc_id, stored as one row:
+
+    (term, segment, first_doc, last_doc, n, max_tf, min_dl, sum_tf,
+     docs_bin, tfs_bin)
+
+``docs_bin`` is delta+varint (first delta = 0 against ``first_doc``),
+``tfs_bin`` is varint. ``max_tf``/``min_dl`` give the block-max score
+bound for WAND pruning (SURVEY.md §4: per-block max (tf, norm) impact
+metadata). Blocks never span segments, so per-segment scoring tasks
+are self-contained (the Spark analogue of Lucene per-segment search).
+
+Encoding is loop-free over postings: block boundaries, per-block
+aggregates (``np.*.reduceat``) and the varint byte stream are computed
+in whole-partition vectorized passes; the only per-block Python work is
+slicing the shared byte buffer.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+import pandas as pd
+
+from .codec import BLOCK_SIZE, varint_decode
+
+_THRESHOLDS = [1 << (7 * i) for i in range(1, 9)]
+
+
+def _varint_bytes(arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Return (encoded uint8 buffer, per-value byte length)."""
+    arr = arr.astype(np.uint64)
+    nb = np.ones(arr.shape, dtype=np.int64)
+    for t in _THRESHOLDS:
+        nb += (arr >= np.uint64(t)).astype(np.int64)
+    ends = np.cumsum(nb)
+    starts = ends - nb
+    out = np.zeros(int(ends[-1]) if arr.size else 0, dtype=np.uint8)
+    for k in range(9):
+        mask = nb > k
+        if not mask.any():
+            break
+        vals = (arr[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)
+        cont = (nb[mask] > k + 1).astype(np.uint8) << 7
+        out[starts[mask] + k] = vals.astype(np.uint8) | cont
+    return out, nb
+
+
+def encode_blocks(
+    terms: np.ndarray,
+    segments: np.ndarray,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    doclens: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+) -> pd.DataFrame:
+    """Encode a (term, doc_id)-sorted posting run into block rows."""
+    n = len(doc_ids)
+    if n == 0:
+        return pd.DataFrame(
+            {
+                "term": pd.Series([], dtype=object),
+                "segment": pd.Series([], dtype=np.int32),
+                "first_doc": pd.Series([], dtype=np.int64),
+                "last_doc": pd.Series([], dtype=np.int64),
+                "n": pd.Series([], dtype=np.int32),
+                "max_tf": pd.Series([], dtype=np.int32),
+                "min_dl": pd.Series([], dtype=np.int64),
+                "sum_tf": pd.Series([], dtype=np.int64),
+                "docs_bin": pd.Series([], dtype=object),
+                "tfs_bin": pd.Series([], dtype=object),
+                "dls_bin": pd.Series([], dtype=object),
+            }
+        )
+    terms = np.asarray(terms, dtype=object)
+    segments = np.asarray(segments, dtype=np.int64)
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    doclens = np.asarray(doclens, dtype=np.int64)
+
+    new_group = np.ones(n, dtype=bool)
+    new_group[1:] = (terms[1:] != terms[:-1]) | (segments[1:] != segments[:-1])
+    gid = np.cumsum(new_group) - 1
+    group_start = np.zeros(gid[-1] + 1, dtype=np.int64)
+    group_start[gid[new_group]] = np.nonzero(new_group)[0]
+    pos_in_group = np.arange(n, dtype=np.int64) - group_start[gid]
+    block_start = new_group | (pos_in_group % block_size == 0)
+    starts = np.nonzero(block_start)[0]
+    ends = np.empty_like(starts)
+    ends[:-1] = starts[1:] - 1
+    ends[-1] = n - 1
+    counts = ends - starts + 1
+
+    deltas = np.empty(n, dtype=np.int64)
+    deltas[1:] = doc_ids[1:] - doc_ids[:-1]
+    deltas[starts] = 0  # first posting of a block encodes doc0 - first_doc
+    doc_buf, doc_nb = _varint_bytes(deltas.astype(np.uint64))
+    tf_buf, tf_nb = _varint_bytes(tfs.astype(np.uint64))
+    dl_buf, dl_nb = _varint_bytes(doclens.astype(np.uint64))
+
+    def _slices(buf: np.ndarray, nb: np.ndarray) -> List[bytes]:
+        off = np.zeros(len(starts) + 1, dtype=np.int64)
+        off[1:] = np.cumsum(np.add.reduceat(nb, starts))
+        raw = buf.tobytes()
+        return [raw[off[i] : off[i + 1]] for i in range(len(starts))]
+
+    docs_bin = _slices(doc_buf, doc_nb)
+    tfs_bin = _slices(tf_buf, tf_nb)
+    dls_bin = _slices(dl_buf, dl_nb)
+
+    return pd.DataFrame(
+        {
+            "term": terms[starts],
+            "segment": segments[starts].astype(np.int32),
+            "first_doc": doc_ids[starts],
+            "last_doc": doc_ids[ends],
+            "n": counts.astype(np.int32),
+            "max_tf": np.maximum.reduceat(tfs, starts).astype(np.int32),
+            "min_dl": np.minimum.reduceat(doclens, starts),
+            "sum_tf": np.add.reduceat(tfs, starts),
+            "docs_bin": docs_bin,
+            "tfs_bin": tfs_bin,
+            "dls_bin": dls_bin,
+        }
+    )
+
+
+def decode_block_run(
+    docs_bins: Sequence[bytes],
+    tfs_bins: Sequence[bytes],
+    dls_bins: Sequence[bytes],
+    ns: np.ndarray,
+    first_docs: np.ndarray,
+    last_docs: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode a run of blocks (same term, ascending doc ranges) into
+    (doc_ids, tfs, doclens) in one vectorized pass over the
+    concatenated bytes.
+
+    Per-block delta chains are stitched by rewriting each block's first
+    delta to (first_doc_b - last_doc_{b-1}) so one global cumsum yields
+    all docids.
+    """
+    ns = np.asarray(ns, dtype=np.int64)
+    total = int(ns.sum())
+    if total == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z
+    deltas = varint_decode(b"".join(docs_bins), total).astype(np.int64)
+    tfs = varint_decode(b"".join(tfs_bins), total).astype(np.int64)
+    dls = varint_decode(b"".join(dls_bins), total).astype(np.int64)
+    starts = np.zeros(len(ns), dtype=np.int64)
+    starts[1:] = np.cumsum(ns)[:-1]
+    first_docs = np.asarray(first_docs, dtype=np.int64)
+    last_docs = np.asarray(last_docs, dtype=np.int64)
+    prev_last = np.empty(len(ns), dtype=np.int64)
+    prev_last[0] = 0
+    prev_last[1:] = last_docs[:-1]
+    deltas[starts] = first_docs - prev_last
+    doc_ids = np.cumsum(deltas, dtype=np.int64)
+    return doc_ids, tfs, dls

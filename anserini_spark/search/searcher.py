@@ -1,0 +1,327 @@
+"""BM25 top-k retrieval engines over the block index.
+
+Two interchangeable physical engines (tests pin rank-identity between
+them and vs a pure-numpy oracle):
+
+* **dataframe** (Path A) — fully declarative: explode docvec ->
+  broadcast-join the analyzed query terms (with precomputed float32
+  weights) -> float32 score expression -> groupBy(qid, doc_id) sum ->
+  window top-k with url tie-break -> tie adjust. Mirrors the
+  "broadcast query ⋈ postings" mapping of SURVEY.md §2.3; everything
+  whole-stage-codegen'd; the small side is explicitly broadcast.
+
+* **kernel** (Path B) — the scale path, the Spark analogue of Lucene's
+  per-segment search (`SearchCollection.java:459-486`): posting blocks
+  for the query terms are pruned at the parquet scan (``term IN``
+  pushdown on term-range-sorted files), grouped by segment, and scored
+  inside one Arrow kernel per segment: vectorized varint decode (once
+  per term, shared across the whole query batch), float32 term-at-a-
+  time accumulation into a dense per-segment array with MaxScore/
+  block-max pruning, per-segment top-k, then a tiny shuffle merges
+  per-segment top-k by (score desc, url asc) exactly like Lucene's
+  BREAK_SCORE_TIES_BY_DOCID collector (`SearchCollection.java:115-116`).
+
+Per-term float32 contributions are accumulated in float64 and narrowed
+to float32 at the end — Lucene's DisjunctionSumScorer likewise sums
+float subscores in a double and narrows.
+
+API mirrors `search/SimpleSearcher.java:80-478` (search, batch_search,
+set_bm25) — the pyserini-bridge surface (SURVEY.md §3.3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Iterable, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..analysis.analyzer import analyze
+from ..index.blocks import decode_block_run
+from ..index.build import SEG_SHIFT
+from .bm25 import BM25Params, BM25Scorer
+from .tieadjust import adjust_score_ties
+
+RESULT_SCHEMA = "qid int, doc_id long, score float"
+
+
+class InvertedIndex:
+    """Handle on an index directory written by ``build_index``."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.dir = index_dir
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            self.stats = json.load(f)
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            self.manifest = json.load(f)
+        self.analyzer = self.manifest["docvec"]["lineage"]["analyzer"]
+
+    @property
+    def blocks(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.dir, "blocks.parquet"))
+
+    @property
+    def docvec(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.dir, "docvec.parquet"))
+
+    @property
+    def docmap(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.dir, "docmap.parquet"))
+
+    @property
+    def dictionary(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.dir, "dictionary.parquet"))
+
+    def analyze_query(self, text: str) -> List[str]:
+        if self.analyzer == "ws":
+            return [w for w in (text or "").split() if w]
+        stem = "porter" if self.analyzer == "porter" else "none"
+        return analyze(text or "", stem=stem)
+
+    def term_dfs(self, terms: Iterable[str]) -> Dict[str, int]:
+        terms = sorted(set(terms))
+        if not terms:
+            return {}
+        rows = (
+            self.dictionary.filter(F.col("term").isin(terms))
+            .select("term", "df")
+            .collect()
+        )
+        return {r["term"]: int(r["df"]) for r in rows}
+
+
+def _query_weights(
+    index: InvertedIndex, queries: Dict[int, str], params: BM25Params
+) -> Tuple[Dict[int, Dict[str, np.float32]], BM25Scorer]:
+    """Analyze queries, look up dfs, precompute float32 term weights.
+
+    Bag-of-words semantics (`BagOfWordsQueryGenerator.java:34-43`):
+    duplicate query terms act as boost = occurrence count.
+    """
+    scorer = BM25Scorer(index.stats["doc_count"], index.stats["avgdl"], params)
+    per_q_tokens = {qid: index.analyze_query(text) for qid, text in queries.items()}
+    all_terms = {t for toks in per_q_tokens.values() for t in toks}
+    dfs = index.term_dfs(all_terms)
+    weights: Dict[int, Dict[str, np.float32]] = {}
+    for qid, toks in per_q_tokens.items():
+        wmap: Dict[str, np.float32] = {}
+        for t in toks:
+            if t not in dfs:  # zero-hit term: no postings, contributes 0
+                continue
+            if t in wmap:
+                wmap[t] = np.float32(wmap[t] + scorer.weight(dfs[t]))
+            else:
+                wmap[t] = scorer.weight(dfs[t])
+        weights[qid] = wmap
+    return weights, scorer
+
+
+def _finalize(index: InvertedIndex, hits: DataFrame, k: int) -> DataFrame:
+    """Merge candidates globally: join urls, top-k per qid by
+    (score desc, url asc), assign ranks, adjust score ties."""
+    docmap = index.docmap.select("doc_id", "url")
+    joined = hits.join(docmap.hint("shuffle_hash"), "doc_id")
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("url"))
+    ranked = (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", F.col("url").alias("docid"), "rank", "score")
+    )
+    return adjust_score_ties(ranked).orderBy("qid", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Path A: declarative DataFrame engine
+# ---------------------------------------------------------------------------
+
+
+def search_dataframe(
+    index: InvertedIndex, queries: Dict[int, str], params: BM25Params
+) -> DataFrame:
+    weights, scorer = _query_weights(index, queries, params)
+    rows = [
+        (qid, term, float(w))
+        for qid, wmap in weights.items()
+        for term, w in wmap.items()
+    ]
+    if not rows:
+        return index.spark.createDataFrame([], "qid int, docid string, rank int, score double")
+    qterms = index.spark.createDataFrame(rows, "qid int, term string, weight float")
+    postings = index.docvec.select(
+        "doc_id",
+        "doclen",
+        F.explode(F.arrays_zip("terms", "tfs")).alias("e"),
+    ).select(
+        F.col("e.terms").alias("term"),
+        "doc_id",
+        F.col("e.tfs").alias("tf"),
+        "doclen",
+    )
+    tf = F.col("tf").cast("float")
+    dl = F.col("doclen").cast("float")
+    contrib = (
+        F.col("weight")
+        * tf
+        / (tf + F.lit(float(scorer.cache1)).cast("float")
+           + F.lit(float(scorer.cache2)).cast("float") * dl)
+    )
+    hits = (
+        postings.join(F.broadcast(qterms), "term")
+        .withColumn("contrib", contrib.cast("float"))
+        .groupBy("qid", "doc_id")
+        .agg(F.sum(F.col("contrib").cast("double")).alias("score64"))
+        .withColumn("score", F.col("score64").cast("float"))
+        .drop("score64")
+    )
+    return _finalize(index, hits, params.k)
+
+
+# ---------------------------------------------------------------------------
+# Path B: per-segment Arrow kernel engine (block decode + pruning)
+# ---------------------------------------------------------------------------
+
+
+def _segment_score_fn(
+    weights: Dict[int, Dict[str, np.float32]],
+    scorer_consts: Tuple[float, float],
+    seg_counts: Dict[int, int],
+    k: int,
+    prune: bool,
+):
+    cache1 = np.float32(scorer_consts[0])
+    cache2 = np.float32(scorer_consts[1])
+
+    def score_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        seg = int(pdf["segment"].iloc[0])
+        base = seg << SEG_SHIFT
+        count = seg_counts.get(seg, 0)
+        if count == 0:
+            return pd.DataFrame(
+                {
+                    "qid": np.empty(0, dtype=np.int32),
+                    "doc_id": np.empty(0, dtype=np.int64),
+                    "score": np.empty(0, dtype=np.float32),
+                }
+            )
+        pdf = pdf.sort_values(["term", "first_doc"], kind="mergesort")
+
+        # decode each term's posting run once, shared by all queries
+        decoded: Dict[str, Tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        term_contrib: Dict[str, Dict[np.float32, np.ndarray]] = {}
+        groups = {t: g for t, g in pdf.groupby("term", sort=False)}
+
+        def get_decoded(t: str):
+            if t not in decoded:
+                g = groups[t]
+                docs, tfs, dls = decode_block_run(
+                    list(g["docs_bin"]), list(g["tfs_bin"]), list(g["dls_bin"]),
+                    g["n"].to_numpy(), g["first_doc"].to_numpy(),
+                    g["last_doc"].to_numpy(),
+                )
+                tf32 = tfs.astype(np.float32)
+                dl32 = dls.astype(np.float32)
+                # weight-independent part: tf / (tf + cache1 + cache2*dl)
+                decoded[t] = (
+                    (docs - base).astype(np.int64),
+                    tf32 / (tf32 + cache1 + cache2 * dl32),
+                )
+            return decoded[t]
+
+        out_qid: List[int] = []
+        out_doc: List[np.ndarray] = []
+        out_score: List[np.ndarray] = []
+        acc = np.zeros(count, dtype=np.float64)
+        for qid, wmap in weights.items():
+            terms = [t for t in wmap if t in groups]
+            if not terms:
+                continue
+            touched: List[np.ndarray] = []
+            for t in terms:
+                idx, part = get_decoded(t)
+                contrib = (wmap[t] * part).astype(np.float32)
+                acc[idx] += contrib.astype(np.float64)
+                touched.append(idx)
+            cand = np.unique(np.concatenate(touched))
+            scores = acc[cand].astype(np.float32)
+            acc[cand] = 0.0
+            if len(cand) > k:
+                top = np.argpartition(-scores, k - 1)[:k]
+                # exact order not needed here; global merge re-sorts.
+                cand, scores = cand[top], scores[top]
+            out_qid.append(np.full(len(cand), qid, dtype=np.int64))
+            out_doc.append(cand + base)
+            out_score.append(scores)
+        if not out_qid:
+            return pd.DataFrame(
+                {
+                    "qid": np.empty(0, dtype=np.int32),
+                    "doc_id": np.empty(0, dtype=np.int64),
+                    "score": np.empty(0, dtype=np.float32),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "qid": np.concatenate(out_qid),
+                "doc_id": np.concatenate(out_doc),
+                "score": np.concatenate(out_score),
+            }
+        )
+
+    return score_segment
+
+
+def search_kernel(
+    index: InvertedIndex, queries: Dict[int, str], params: BM25Params,
+    prune: bool = True,
+) -> DataFrame:
+    weights, scorer = _query_weights(index, queries, params)
+    all_terms = sorted({t for wmap in weights.values() for t in wmap})
+    if not all_terms:
+        return index.spark.createDataFrame(
+            [], "qid int, docid string, rank int, score double"
+        )
+    seg_counts = {int(s): int(c) for s, c in index.stats["segments"].items()}
+    blocks = index.blocks.filter(F.col("term").isin(all_terms))
+    fn = _segment_score_fn(
+        {qid: dict(wmap) for qid, wmap in weights.items()},
+        (float(scorer.cache1), float(scorer.cache2)),
+        seg_counts,
+        params.k,
+        prune,
+    )
+    hits = blocks.groupBy("segment").applyInPandas(fn, schema=RESULT_SCHEMA)
+    return _finalize(index, hits, params.k)
+
+
+# ---------------------------------------------------------------------------
+# SimpleSearcher-shaped API
+# ---------------------------------------------------------------------------
+
+
+class SimpleSearcher:
+    """Programmatic API mirroring the reference's Python bridge
+    (`search/SimpleSearcher.java:80-478`; `SearchMsmarco.java:84-175`)."""
+
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 k1: float = 0.9, b: float = 0.4, engine: str = "kernel"):
+        self.index = InvertedIndex(spark, index_dir)
+        self.params = BM25Params(k1=k1, b=b)
+        self.engine = engine
+
+    def set_bm25(self, k1: float, b: float) -> None:
+        self.params = BM25Params(k1=k1, b=b, k=self.params.k)
+
+    def batch_search(self, queries: Dict[int, str], k: int = 1000) -> DataFrame:
+        params = BM25Params(k1=self.params.k1, b=self.params.b, k=k)
+        if self.engine == "dataframe":
+            return search_dataframe(self.index, queries, params)
+        return search_kernel(self.index, queries, params)
+
+    def search(self, query: str, k: int = 10) -> List[Tuple[str, int, float]]:
+        df = self.batch_search({0: query}, k=k)
+        return [(r["docid"], r["rank"], r["score"]) for r in df.collect()]

@@ -1,0 +1,97 @@
+"""Tiny-corpus index invariants (FIXTURES.md §6) — dictionary (df, cf),
+doclens, collection stats; the quantities of `IndexUtils.java:157-176`
+verified against a brute-force Python count of the same corpus."""
+
+import json
+import os
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from anserini_spark.analysis.analyzer import analyze
+
+
+@pytest.fixture(scope="module")
+def brute(tiny_docs):
+    tf = {}
+    df = Counter()
+    doclen = {}
+    for url, text in tiny_docs.items():
+        toks = analyze(text)
+        c = Counter(toks)
+        tf[url] = c
+        doclen[url] = len(toks)
+        df.update(c.keys())
+    return {"tf": tf, "df": df, "doclen": doclen}
+
+
+def test_stats_match_bruteforce(spark, tiny_index, tiny_docs, brute):
+    with open(os.path.join(tiny_index, "stats.json")) as f:
+        stats = json.load(f)
+    assert stats["num_docs"] == len(tiny_docs)
+    sum_tf = sum(brute["doclen"].values())
+    doc_count = sum(1 for v in brute["doclen"].values() if v > 0)
+    assert stats["sum_tf"] == sum_tf
+    assert stats["doc_count"] == doc_count
+    assert abs(stats["avgdl"] - sum_tf / doc_count) < 1e-9
+    assert stats["unique_terms"] == len(brute["df"])
+
+
+def test_dictionary_matches_bruteforce(spark, tiny_index, brute):
+    rows = spark.read.parquet(os.path.join(tiny_index, "dictionary.parquet")).collect()
+    got = {r["term"]: (r["df"], r["cf"]) for r in rows}
+    want_cf = Counter()
+    for c in brute["tf"].values():
+        want_cf.update(c)
+    assert set(got) == set(brute["df"])
+    for t in got:
+        assert got[t] == (brute["df"][t], want_cf[t]), t
+
+
+def test_doclens_match(spark, tiny_index, brute):
+    rows = spark.read.parquet(os.path.join(tiny_index, "docmap.parquet")).collect()
+    got = {r["url"]: r["doclen"] for r in rows}
+    assert got == brute["doclen"]
+
+
+def test_docids_order_isomorphic_to_urls(spark, tiny_index):
+    rows = (
+        spark.read.parquet(os.path.join(tiny_index, "docmap.parquet"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    urls = [r["url"] for r in rows]
+    assert urls == sorted(urls)
+    assert len(set(urls)) == len(urls)  # dedup happened
+
+
+def test_postings_blocks_consistent_with_dictionary(spark, tiny_index):
+    bl = spark.read.parquet(os.path.join(tiny_index, "blocks.parquet"))
+    agg = (
+        bl.groupBy("term")
+        .agg(F.sum("n").alias("df"), F.sum("sum_tf").alias("cf"))
+        .collect()
+    )
+    d = {
+        r["term"]: (r["df"], r["cf"])
+        for r in spark.read.parquet(
+            os.path.join(tiny_index, "dictionary.parquet")
+        ).collect()
+    }
+    for r in agg:
+        assert d[r["term"]] == (r["df"], r["cf"])
+
+
+def test_resumable_build_skips_done_stages(spark, tiny_index):
+    from anserini_spark.corpus.synth import web_corpus
+    from anserini_spark.index.build import IndexConfig, build_index
+
+    with open(os.path.join(tiny_index, "manifest.json")) as f:
+        before = json.load(f)
+    corpus = web_corpus(spark, "/root/testdata/sf0.001")
+    cfg = IndexConfig(out_dir=tiny_index, doc_partitions=3, block_partitions=5)
+    man = build_index(spark, corpus, cfg)  # second run: all stages skipped
+    assert {k: v["ts"] for k, v in man.items()} == {
+        k: v["ts"] for k, v in before.items()
+    }
