@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 (+ the training-data-pipeline ops); ``oracle_sql()``
+holds the DuckDB-equivalent ANSI SQL for every SQL-expressible one.
+Ops whose outputs depend on engine-specific hash functions
+(minhash/simhash/LSH) or on the inverted-index files (kernel engine)
+have no oracle entry — the driver records a rows-only check; their
+exactness is pinned in ``tests/`` against brute-force references.
 """
 
 from __future__ import annotations
@@ -13,26 +15,50 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from anserini_spark.ops import corpus_queries as cq
+from anserini_spark.ops import dedup as dd
+from anserini_spark.ops import events as ev
+from anserini_spark.ops import similarity as sim
+from anserini_spark.ops import textstats as ts
+
+SF001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-k over the sf0.001 documents table."""
+    return cq.bm25_topk(spark, SF001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # IR core (SURVEY.md §2.4, §2.5, §2.7)
+        "term_dictionary": cq.term_dictionary,
+        "doc_lengths": cq.doc_lengths,
+        "collection_stats": cq.collection_stats,
+        "top_terms": cq.top_terms,
+        "bm25_topk": cq.bm25_topk,
+        # dedup family
+        "exact_dedup": dd.exact_dedup,
+        "ngram_jaccard_pairs": dd.ngram_jaccard_pairs,
+        "minhash_lsh_pairs": dd.minhash_lsh_pairs,     # rows-only
+        "simhash_pairs": dd.simhash_pairs,             # rows-only
+        # text analysis
+        "token_counts": ts.token_counts,
+        "text_quality": ts.text_quality,
+        "langid_heuristic": ts.langid_heuristic,
+        "doc_fingerprint": ts.doc_fingerprint,
+        # similarity search
+        "cosine_topk": sim.cosine_topk,
+        "ann_lsh_topk": sim.ann_lsh_topk,              # rows-only
+        # events
+        "events_hourly": ev.events_hourly,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    out.update(cq.oracle_sqls())
+    out.update(ts.oracle_sqls())
+    out.update(sim.oracle_sqls())
+    out.update(ev.oracle_sqls())
+    return out

@@ -94,38 +94,52 @@ def _render_html(doc_id: int, text: str, lang: str) -> str:
     )
 
 
-def _rows(batch: pd.DataFrame) -> pd.DataFrame:
+def _rows(batch: pd.DataFrame, multiplier: int = 1) -> pd.DataFrame:
     out = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
     for doc_id, text, lang, source in zip(
         batch["doc_id"], batch["text"], batch["lang"], batch["source"]
     ):
-        doc_id = int(doc_id)
-        text = text if isinstance(text, str) else ""
-        if doc_id % 97 == 3:
-            text = ""
-        url = f"https://{source}.example.org/page/{doc_id:010d}"
-        ts = _EPOCH + _dt.timedelta(seconds=(doc_id * 37) % 31_536_000)
-        page = _render_html(doc_id, text, lang).encode("utf-8")
-        reps = 2 if doc_id % 101 == 7 else 1
-        for _ in range(reps):
-            out["url"].append(url)
-            out["warc_ts"].append(ts)
-            out["html"].append(page)
-            out["text"].append(text)
-            out["lang"].append(lang)
+        base_id = int(doc_id)
+        base_text = text if isinstance(text, str) else ""
+        for rep in range(multiplier):
+            doc_id = base_id * multiplier + rep
+            text = base_text
+            if rep:
+                # deterministic variant: rotate tokens (keeps vocab/Zipf)
+                w = text.split()
+                r = rep % len(w) if w else 0
+                text = " ".join(w[r:] + w[:r])
+            if doc_id % 97 == 3:
+                text = ""
+            url = f"https://{source}.example.org/page/{doc_id:010d}"
+            ts = _EPOCH + _dt.timedelta(seconds=(doc_id * 37) % 31_536_000)
+            page = _render_html(doc_id, text, lang).encode("utf-8")
+            reps = 2 if doc_id % 101 == 7 else 1
+            for _ in range(reps):
+                out["url"].append(url)
+                out["warc_ts"].append(ts)
+                out["html"].append(page)
+                out["text"].append(text)
+                out["lang"].append(lang)
     return pd.DataFrame(out)
 
 
-def web_corpus(spark: SparkSession, sf_dir: str, limit: int | None = None) -> DataFrame:
-    """Corpus DataFrame derived from ``{sf_dir}/documents.parquet``."""
+def web_corpus(spark: SparkSession, sf_dir: str, limit: int | None = None,
+               multiplier: int = 1) -> DataFrame:
+    """Corpus DataFrame derived from ``{sf_dir}/documents.parquet``.
+
+    ``multiplier`` deterministically inflates the corpus (rotated-token
+    variants) for throughput benchmarking at larger-than-sf scale."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text", "lang", "source"
     )
     if limit is not None:
         docs = docs.filter(docs.doc_id < limit)
+    if multiplier > 1:
+        docs = docs.repartition(32)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            yield _rows(b)
+            yield _rows(b, multiplier)
 
     return docs.mapInPandas(gen, schema=CORPUS_SCHEMA)

@@ -1,0 +1,229 @@
+"""Driver-gate IR queries over the ``documents`` testdata table.
+
+Each function here has an exact ANSI-SQL DuckDB oracle in
+``__spark_entry__.oracle_sql``. To keep the oracle SQL-expressible,
+these use whitespace tokenization and float64 math; the full Anserini
+analyzer chain / float32 parity is pinned by `tests/` instead
+(SURVEY.md §5). Semantics per operator cite the reference:
+
+* term_dictionary — per-term (df, cf): `IndexReaderUtils.java:205-221`
+* doc_lengths / collection_stats — `IndexUtils.java:157-176`,
+  avgdl = sumTotalTermFreq / docCount (`AccurateBM25Similarity.java:52-54`)
+* top_terms — `util/ExtractTopDfTerms.java`
+* bm25_topk — BM25 k1=0.9, b=0.4 bag-of-words top-k with docid
+  tie-break (`SearchCollection.java:115-116`, formula
+  `AccurateBM25Similarity.java:108-141`)
+
+All plans are declarative (split/explode/groupBy/window) — no UDFs —
+so Catalyst pushes the text IS NOT NULL filters into the parquet scan
+and keeps every stage in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+K1 = 0.9
+B = 0.4
+
+# fixed MS MARCO-style dev query set (qid, term) — mirrored verbatim as
+# a VALUES list in the oracle SQL; terms drawn from the synthetic vocab
+FIXED_QUERIES = [
+    (1, "spark"), (1, "join"),
+    (2, "window"), (2, "batch"), (2, "stream"),
+    (3, "customer"), (3, "value"),
+    (4, "scan"), (4, "filter"),
+    (5, "merge"), (5, "sort"), (5, "key"),
+    (6, "vector"),
+    (7, "data"), (7, "row"), (7, "column"),
+    (8, "slow"), (8, "query"), (8, "table"),
+]
+
+TOPK = 10
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("text").isNotNull() & (F.trim(F.col("text")) != ""))
+        .select("doc_id", "text")
+    )
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+
+
+def _tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _tokens(spark, sf_dir)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def term_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _tf(spark, sf_dir)
+        .groupBy("term")
+        .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+    )
+
+
+def doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _tokens(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("doclen"))
+    )
+
+
+def collection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dl = doc_lengths(spark, sf_dir)
+    return dl.agg(
+        F.count("*").alias("doc_count"),
+        F.sum("doclen").alias("sum_tf"),
+        (F.sum("doclen").cast("double") / F.count("*").cast("double")).alias(
+            "avgdl"
+        ),
+    )
+
+
+def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        term_dictionary(spark, sf_dir)
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(20)
+        .select("term", "df")
+    )
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace-token BM25 (double precision) over documents for the
+    fixed query set; top-10 per qid by (score desc, doc_id asc)."""
+    tf = _tf(spark, sf_dir)
+    dl = doc_lengths(spark, sf_dir)
+    q = spark.createDataFrame(FIXED_QUERIES, "qid int, term string")
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n"),
+        (F.sum("doclen").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    dfreq = (
+        tf.join(F.broadcast(q.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.count("*").cast("double").alias("dfreq"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n") - F.col("dfreq") + F.lit(0.5)) / (F.col("dfreq") + F.lit(0.5))
+    )
+    tfd = F.col("tf").cast("double")
+    dld = F.col("doclen").cast("double")
+    contrib = idf * tfd / (
+        tfd + F.lit(K1 * (1 - B)) + F.lit(K1 * B) / F.col("avgdl") * dld
+    )
+    scored = (
+        tf.join(F.broadcast(q), "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("qid", "doc_id")
+        .agg(F.sum(contrib).alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("qid", "doc_id", "rank", F.round("score", 4).alias("score"))
+    )
+
+
+def _values_clause() -> str:
+    return ", ".join(f"({qid}, '{t}')" for qid, t in FIXED_QUERIES)
+
+
+_TOK_CTE = """
+docs AS (
+  SELECT doc_id, text FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+),
+tok AS (
+  SELECT doc_id, t.term
+  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM docs) t
+  WHERE t.term <> ''
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, term
+),
+dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS doclen FROM tok GROUP BY doc_id
+)
+"""
+
+
+def oracle_sqls() -> dict[str, str]:
+    return {
+        "term_dictionary": f"""
+WITH {_TOK_CTE}
+SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
+FROM tf GROUP BY term
+""",
+        "doc_lengths": f"""
+WITH {_TOK_CTE}
+SELECT doc_id, doclen FROM dl
+""",
+        "collection_stats": f"""
+WITH {_TOK_CTE}
+SELECT CAST(count(*) AS BIGINT) AS doc_count,
+       CAST(sum(doclen) AS BIGINT) AS sum_tf,
+       CAST(sum(doclen) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+FROM dl
+""",
+        "top_terms": f"""
+WITH {_TOK_CTE},
+d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
+SELECT term, df FROM d ORDER BY df DESC, term LIMIT 20
+""",
+        "bm25_topk": f"""
+WITH {_TOK_CTE},
+q(qid, term) AS (VALUES {_values_clause()}),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(doclen) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+),
+dfreq AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS dfreq FROM tf
+  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term
+),
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         sum(
+           ln(1.0 + (s.n - d.dfreq + 0.5) / (d.dfreq + 0.5))
+           * CAST(tf.tf AS DOUBLE)
+           / (CAST(tf.tf AS DOUBLE) + {K1 * (1 - B)!r}
+              + {K1 * B!r} / s.avgdl * CAST(dl.doclen AS DOUBLE))
+         ) AS score
+  FROM q
+  JOIN dfreq d ON q.term = d.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id
+)
+SELECT qid, doc_id, rank, round(score, 4) AS score
+FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank,
+         score
+  FROM scored
+)
+WHERE rank <= {TOPK}
+""",
+    }
