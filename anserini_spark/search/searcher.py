@@ -196,24 +196,34 @@ def _segment_score_fn(
     cache1 = np.float32(scorer_consts[0])
     cache2 = np.float32(scorer_consts[1])
 
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "qid": np.empty(0, dtype=np.int32),
+                "doc_id": np.empty(0, dtype=np.int64),
+                "score": np.empty(0, dtype=np.float32),
+            }
+        )
+
     def score_segment(pdf: pd.DataFrame) -> pd.DataFrame:
         seg = int(pdf["segment"].iloc[0])
         base = seg << SEG_SHIFT
         count = seg_counts.get(seg, 0)
         if count == 0:
-            return pd.DataFrame(
-                {
-                    "qid": np.empty(0, dtype=np.int32),
-                    "doc_id": np.empty(0, dtype=np.int64),
-                    "score": np.empty(0, dtype=np.float32),
-                }
-            )
+            return _empty()
         pdf = pdf.sort_values(["term", "first_doc"], kind="mergesort")
-
-        # decode each term's posting run once, shared by all queries
-        decoded: Dict[str, Tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
-        term_contrib: Dict[str, Dict[np.float32, np.ndarray]] = {}
         groups = {t: g for t, g in pdf.groupby("term", sort=False)}
+
+        # per-term block metadata (no decode): postings count and the
+        # block-max score bound tf*/(tf* + c1 + c2*dl*) (SURVEY.md §4)
+        meta: Dict[str, Tuple[int, np.ndarray]] = {}
+        for t, g in groups.items():
+            mtf = g["max_tf"].to_numpy().astype(np.float32)
+            mdl = g["min_dl"].to_numpy().astype(np.float32)
+            meta[t] = (int(g["n"].sum()), mtf / (mtf + cache1 + cache2 * mdl))
+
+        # full-run decode cache, shared across queries
+        decoded: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
 
         def get_decoded(t: str):
             if t not in decoded:
@@ -225,14 +235,36 @@ def _segment_score_fn(
                 )
                 tf32 = tfs.astype(np.float32)
                 dl32 = dls.astype(np.float32)
-                # weight-independent part: tf / (tf + cache1 + cache2*dl)
                 decoded[t] = (
                     (docs - base).astype(np.int64),
                     tf32 / (tf32 + cache1 + cache2 * dl32),
                 )
             return decoded[t]
 
-        out_qid: List[int] = []
+        def decode_subset(t: str, lo: int, hi: int):
+            """Decode only blocks of t overlapping local-doc range
+            [lo, hi] (block-max skipping); falls back to the cache if
+            the full run is already decoded."""
+            if t in decoded:
+                return decoded[t]
+            g = groups[t]
+            first = g["first_doc"].to_numpy() - base
+            last = g["last_doc"].to_numpy() - base
+            mask = (last >= lo) & (first <= hi)
+            if not mask.any():
+                return (np.empty(0, dtype=np.int64), np.empty(0, np.float32))
+            sub = g.iloc[np.nonzero(mask)[0]]
+            docs, tfs, dls = decode_block_run(
+                list(sub["docs_bin"]), list(sub["tfs_bin"]), list(sub["dls_bin"]),
+                sub["n"].to_numpy(), sub["first_doc"].to_numpy(),
+                sub["last_doc"].to_numpy(),
+            )
+            tf32 = tfs.astype(np.float32)
+            dl32 = dls.astype(np.float32)
+            return ((docs - base).astype(np.int64),
+                    tf32 / (tf32 + cache1 + cache2 * dl32))
+
+        out_qid: List[np.ndarray] = []
         out_doc: List[np.ndarray] = []
         out_score: List[np.ndarray] = []
         acc = np.zeros(count, dtype=np.float64)
@@ -240,30 +272,28 @@ def _segment_score_fn(
             terms = [t for t in wmap if t in groups]
             if not terms:
                 continue
-            touched: List[np.ndarray] = []
-            for t in terms:
-                idx, part = get_decoded(t)
-                contrib = (wmap[t] * part).astype(np.float32)
-                acc[idx] += contrib.astype(np.float64)
-                touched.append(idx)
-            cand = np.unique(np.concatenate(touched))
-            scores = acc[cand].astype(np.float32)
-            acc[cand] = 0.0
+            if not prune:
+                touched: List[np.ndarray] = []
+                for t in terms:
+                    idx, part = get_decoded(t)
+                    contrib = (wmap[t] * part).astype(np.float32)
+                    acc[idx] += contrib.astype(np.float64)
+                    touched.append(idx)
+                cand = np.unique(np.concatenate(touched))
+                scores = acc[cand].astype(np.float32)
+                acc[cand] = 0.0
+            else:
+                cand, scores = _maxscore_query(
+                    terms, wmap, meta, get_decoded, decode_subset, acc, k
+                )
             if len(cand) > k:
                 top = np.argpartition(-scores, k - 1)[:k]
-                # exact order not needed here; global merge re-sorts.
                 cand, scores = cand[top], scores[top]
             out_qid.append(np.full(len(cand), qid, dtype=np.int64))
             out_doc.append(cand + base)
             out_score.append(scores)
         if not out_qid:
-            return pd.DataFrame(
-                {
-                    "qid": np.empty(0, dtype=np.int32),
-                    "doc_id": np.empty(0, dtype=np.int64),
-                    "score": np.empty(0, dtype=np.float32),
-                }
-            )
+            return _empty()
         return pd.DataFrame(
             {
                 "qid": np.concatenate(out_qid),
@@ -273,6 +303,72 @@ def _segment_score_fn(
         )
 
     return score_segment
+
+
+def _maxscore_query(terms, wmap, meta, get_decoded, decode_subset, acc, k):
+    """MaxScore evaluation of one query over one segment.
+
+    Dense-accumulate terms in descending upper-bound order; once the
+    remaining terms' summed upper bound drops below the current kth
+    partial score (a valid lower bound of the final kth score), the
+    remaining terms can no longer introduce new top-k docs — finish
+    them with sorted lookups (searchsorted) restricted to the candidate
+    set, decoding only candidate-overlapping blocks (block-max skip).
+    Final scores of emitted docs are exact; rank-identical to the
+    unpruned path (pinned by tests)."""
+    ubs = {
+        t: float(np.float32(wmap[t]) * np.float32(m[1].max()))
+        for t, m in ((t, meta[t]) for t in terms)
+    }
+    order = sorted(terms, key=lambda t: -ubs[t])
+    suffix = np.concatenate(
+        [np.cumsum([ubs[t] for t in order][::-1])[::-1][1:], [0.0]]
+    )
+    touched: List[np.ndarray] = []
+    theta = 0.0
+    switch = len(order)
+    for i, t in enumerate(order):
+        if touched and suffix[i] > 0.0:
+            if len(touched) == 1:
+                cur = touched[0]
+            else:
+                cur = np.unique(np.concatenate(touched))
+                touched = [cur]
+            if len(cur) > k:
+                part_scores = acc[cur]
+                theta = float(np.partition(part_scores, len(cur) - k)[len(cur) - k])
+                if suffix[i - 1] < theta:
+                    switch = i
+                    break
+        idx, part = get_decoded(t)
+        acc[idx] += (np.float32(wmap[t]) * part).astype(np.float32).astype(np.float64)
+        touched.append(idx)
+    cand = np.unique(np.concatenate(touched)) if len(touched) > 1 else touched[0]
+    if switch < len(order):
+        # candidates that cannot reach theta are dead: their final score
+        # is < theta <= final kth score, so dropping them is exact
+        rem_ub = suffix[switch - 1]
+        alive = acc[cand] + rem_ub >= theta
+        live = cand[alive]
+        if live.size:
+            lo, hi = int(live[0]), int(live[-1])
+            for t in order[switch:]:
+                d, part = decode_subset(t, lo, hi)
+                if d.size == 0:
+                    continue
+                pos = np.searchsorted(d, live)
+                pos_c = np.minimum(pos, d.size - 1)
+                hit = d[pos_c] == live
+                hpos = pos_c[hit]
+                acc[live[hit]] += (
+                    (np.float32(wmap[t]) * part[hpos]).astype(np.float32)
+                ).astype(np.float64)
+        scores = acc[live].astype(np.float32)
+        acc[cand] = 0.0
+        return live, scores
+    scores = acc[cand].astype(np.float32)
+    acc[cand] = 0.0
+    return cand, scores
 
 
 def search_kernel(

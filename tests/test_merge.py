@@ -1,0 +1,53 @@
+"""Merge parity (FIXTURES.md §7 invariance): a corpus built as two
+independent slices and merged must produce the identical golden run
+and identical collection stats as the single-slice build."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from anserini_spark.corpus.synth import web_corpus
+from anserini_spark.index.build import IndexConfig, build_index
+from anserini_spark.index.merge import merge_indexes
+from anserini_spark.search.bm25 import BM25Params
+from anserini_spark.search.searcher import InvertedIndex, search_kernel
+
+QUERIES = {1: "spark merge join", 2: "customer value", 3: "scan"}
+
+
+def _rows(df):
+    return [
+        (r["qid"], r["docid"], r["rank"], round(float(r["score"]), 6))
+        for r in df.collect()
+    ]
+
+
+def test_sliced_build_plus_merge_equals_single(spark, tiny_index, tmp_path):
+    corpus = web_corpus(spark, "/root/testdata/sf0.001")
+    # two disjoint url slices (hash split)
+    s0 = corpus.filter(F.abs(F.xxhash64("url")) % 2 == 0)
+    s1 = corpus.filter(F.abs(F.xxhash64("url")) % 2 == 1)
+    d0, d1, dm = (str(tmp_path / n) for n in ("s0", "s1", "merged"))
+    build_index(spark, s0, IndexConfig(out_dir=d0, doc_partitions=2,
+                                       block_partitions=3))
+    build_index(spark, s1, IndexConfig(out_dir=d1, doc_partitions=2,
+                                       block_partitions=3))
+    merge_indexes(spark, [d0, d1], IndexConfig(out_dir=dm, doc_partitions=2,
+                                               block_partitions=4))
+
+    with open(os.path.join(dm, "stats.json")) as f:
+        merged_stats = json.load(f)
+    with open(os.path.join(tiny_index, "stats.json")) as f:
+        single_stats = json.load(f)
+    for key in ("num_docs", "doc_count", "sum_tf", "unique_terms"):
+        assert merged_stats[key] == single_stats[key], key
+    assert abs(merged_stats["avgdl"] - single_stats["avgdl"]) < 1e-9
+
+    merged_run = _rows(
+        search_kernel(InvertedIndex(spark, dm), QUERIES, BM25Params(k=15))
+    )
+    single_run = _rows(
+        search_kernel(InvertedIndex(spark, tiny_index), QUERIES, BM25Params(k=15))
+    )
+    assert merged_run == single_run
