@@ -98,6 +98,7 @@ class IndexConfig:
     doc_partitions: int = 16          # P: segments (Lucene-segment analogue)
     block_partitions: int = 32        # B: posting-sort parallelism
     block_size: int = 128
+    source_col: str = "text"          # "text" (pre-extracted) | "html"
     extra: dict = field(default_factory=dict)
 
 
@@ -109,8 +110,52 @@ def _analyze_for(cfg: IndexConfig):
     return lambda t: analyze(t or "", stem=stem, keep_stopwords=keep)
 
 
-def _docvec_kernel(cfg: IndexConfig):
+ANALYZED_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("doclen", T.LongType(), False),
+        T.StructField("terms", T.ArrayType(T.StringType()), False),
+        T.StructField("tfs", T.ArrayType(T.IntegerType()), False),
+    ]
+)
+
+
+def _analyze_kernel(cfg: IndexConfig):
+    """Pre-shuffle kernel: HTML->text extraction (when source_col is
+    html) + analyzer chain + per-doc tf, emitted as compact rows —
+    the multi-KB html/text payload never crosses the shuffle; only
+    (url, doclen, terms, tfs) is range-partitioned and sorted."""
     an = _analyze_for(cfg)
+    from_html = cfg.source_col == "html"
+    if from_html:
+        from ..extraction.html2text import extract_text
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {"url": [], "doclen": [], "terms": [], "tfs": []}
+            texts = b["html"].map(extract_text) if from_html else b["text"]
+            for url, text in zip(b["url"], texts):
+                if from_html and (not text or not text.strip()):
+                    # empty-doc filter post-extraction
+                    # (DefaultLuceneDocumentGenerator.java:64-66)
+                    continue
+                counts = Counter(an(text))
+                terms = sorted(counts)
+                tfs = [counts[t] for t in terms]
+                out["url"].append(url)
+                out["doclen"].append(sum(tfs))
+                out["terms"].append(terms)
+                out["tfs"].append(tfs)
+            if out["url"]:
+                yield pd.DataFrame(out)
+
+    return fn
+
+
+def _assign_ids_kernel():
+    """Post-sort kernel: duplicate-url drop (sorted => adjacent, cf.
+    `IndexCollection.java:213-215`) + (segment << 40 | row) id
+    assignment by sorted position."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -120,24 +165,20 @@ def _docvec_kernel(cfg: IndexConfig):
         row = 0
         prev_url = None
         for b in batches:
-            out = {"doc_id": [], "url": [], "segment": [], "doclen": [],
-                   "terms": [], "tfs": []}
-            for url, text in zip(b["url"], b["text"]):
-                if url == prev_url:  # duplicate url (sorted => adjacent)
+            keep = []
+            urls = b["url"]
+            for i, url in enumerate(urls):
+                if url == prev_url:
                     continue
                 prev_url = url
-                counts = Counter(an(text))
-                terms = sorted(counts)
-                tfs = [counts[t] for t in terms]
-                out["doc_id"].append(base + row)
-                out["url"].append(url)
-                out["segment"].append(pid)
-                out["doclen"].append(sum(tfs))
-                out["terms"].append(terms)
-                out["tfs"].append(tfs)
-                row += 1
-            if out["url"]:
-                yield pd.DataFrame(out)
+                keep.append(i)
+            if not keep:
+                continue
+            sub = b.iloc[keep].reset_index(drop=True)
+            sub.insert(0, "doc_id", [base + row + i for i in range(len(sub))])
+            sub.insert(2, "segment", pid)
+            row += len(sub)
+            yield sub[["doc_id", "url", "segment", "doclen", "terms", "tfs"]]
 
     return fn
 
@@ -216,21 +257,30 @@ def build_index(spark: SparkSession, corpus: DataFrame, cfg: IndexConfig) -> dic
     docvec_path = os.path.join(cfg.out_dir, "docvec.parquet")
     blocks_path = os.path.join(cfg.out_dir, "blocks.parquet")
     dict_path = os.path.join(cfg.out_dir, "dictionary.parquet")
-    docmap_path = os.path.join(cfg.out_dir, "docmap.parquet")
     stats_path = os.path.join(cfg.out_dir, "stats.json")
 
     # ---- stage 1: docvec ------------------------------------------------
     if not man.done("docvec"):
         t0 = time.time()
-        df = corpus.select("url", "text", "lang")
+        src = cfg.source_col
+        df = corpus.select("url", src, "lang")
         if cfg.lang is not None:
             df = df.filter(F.col("lang") == cfg.lang)
-        df = df.filter(F.length(F.trim(F.col("text"))) > 0)
+        if src == "text":
+            df = df.filter(F.length(F.trim(F.col("text"))) > 0)
+        # hash-partition by url (NOT range: range sampling would re-run
+        # the extraction kernel for its sample pass — a full second
+        # corpus scan). Segments therefore hold hash-disjoint url sets,
+        # sorted by url within each; ids are order-isomorphic to urls
+        # within a segment (all the scoring kernel needs), and
+        # cross-segment ordering is by url string at the top-k merge,
+        # exactly the reference's docid-string tie-break.
         df = (
-            df.repartitionByRange(cfg.doc_partitions, "url")
+            df.select("url", src)
+            .mapInPandas(_analyze_kernel(cfg), schema=ANALYZED_SCHEMA)
+            .repartition(cfg.doc_partitions, "url")
             .sortWithinPartitions("url")
-            .select("url", "text")
-            .mapInPandas(_docvec_kernel(cfg), schema=DOCVEC_SCHEMA)
+            .mapInPandas(_assign_ids_kernel(), schema=DOCVEC_SCHEMA)
         )
         df.write.mode("overwrite").parquet(docvec_path)
         wall = time.time() - t0
@@ -246,15 +296,8 @@ def build_index(spark: SparkSession, corpus: DataFrame, cfg: IndexConfig) -> dic
         )
 
     docvec = spark.read.parquet(docvec_path)
-
-    # ---- stage 2: docmap (url <-> doc_id, for result materialization) ---
-    if not man.done("docmap"):
-        t0 = time.time()
-        docvec.select("doc_id", "url", "segment", "doclen").write.mode(
-            "overwrite"
-        ).parquet(docmap_path)
-        man.record("docmap", wall_s=round(time.time() - t0, 3),
-                   bytes=_dir_bytes(docmap_path))
+    # no separate docmap table: (doc_id, url, segment, doclen) is a
+    # column-pruned projection of docvec (parquet skips the arrays)
 
     # ---- stage 3: posting blocks ---------------------------------------
     if not man.done("blocks"):
@@ -312,25 +355,28 @@ def build_index(spark: SparkSession, corpus: DataFrame, cfg: IndexConfig) -> dic
 
     if not man.done("stats"):
         t0 = time.time()
-        s = docvec.agg(
-            F.count("*").alias("num_docs"),
-            F.sum((F.col("doclen") > 0).cast("long")).alias("doc_count"),
-            F.sum("doclen").alias("sum_tf"),
-        ).collect()[0]
+        # one per-segment aggregation yields num_docs/doc_count/sum_tf
+        # AND the per-segment doc counts the scoring kernel needs
+        seg_rows = (
+            docvec.groupBy("segment")
+            .agg(
+                F.count("*").alias("cnt"),
+                F.sum("doclen").alias("sum_tf"),
+                F.sum((F.col("doclen") > 0).cast("long")).alias("nonempty"),
+            )
+            .collect()
+        )
         uniq = spark.read.parquet(dict_path).count()
-        seg_counts = {
-            int(r["segment"]): int(r["cnt"])
-            for r in docvec.groupBy("segment").agg(F.count("*").alias("cnt")).collect()
-        }
+        num_docs = sum(int(r["cnt"]) for r in seg_rows)
+        doc_count = sum(int(r["nonempty"] or 0) for r in seg_rows)
+        sum_tf = sum(int(r["sum_tf"] or 0) for r in seg_rows)
         stats = {
-            "num_docs": int(s["num_docs"]),
-            "doc_count": int(s["doc_count"] or 0),
-            "sum_tf": int(s["sum_tf"] or 0),
-            "avgdl": (float(s["sum_tf"]) / float(s["doc_count"]))
-            if s["doc_count"]
-            else 0.0,
+            "num_docs": num_docs,
+            "doc_count": doc_count,
+            "sum_tf": sum_tf,
+            "avgdl": (float(sum_tf) / float(doc_count)) if doc_count else 0.0,
             "unique_terms": int(uniq),
-            "segments": seg_counts,
+            "segments": {int(r["segment"]): int(r["cnt"]) for r in seg_rows},
         }
         with open(stats_path, "w") as f:
             json.dump(stats, f, indent=2)

@@ -48,7 +48,6 @@ def merge_indexes(spark: SparkSession, slice_dirs: list[str], cfg: IndexConfig) 
     docvec_path = os.path.join(cfg.out_dir, "docvec.parquet")
     blocks_path = os.path.join(cfg.out_dir, "blocks.parquet")
     dict_path = os.path.join(cfg.out_dir, "dictionary.parquet")
-    docmap_path = os.path.join(cfg.out_dir, "docmap.parquet")
     stats_path = os.path.join(cfg.out_dir, "stats.json")
 
     if not man.done("merge_docvec"):
@@ -86,14 +85,6 @@ def merge_indexes(spark: SparkSession, slice_dirs: list[str], cfg: IndexConfig) 
         )
 
     docvec = spark.read.parquet(docvec_path)
-
-    if not man.done("docmap"):
-        t0 = time.time()
-        docvec.select("doc_id", "url", "segment", "doclen").write.mode(
-            "overwrite"
-        ).parquet(docmap_path)
-        man.record("docmap", wall_s=round(time.time() - t0, 3),
-                   bytes=_dir_bytes(docmap_path))
 
     if not man.done("blocks"):
         t0 = time.time()

@@ -105,9 +105,13 @@ def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace-token BM25 (double precision) over documents for the
-    fixed query set; top-10 per qid by (score desc, doc_id asc)."""
-    tf = _tf(spark, sf_dir)
-    dl = doc_lengths(spark, sf_dir)
+    fixed query set; top-10 per qid by (score desc, doc_id asc).
+
+    tf feeds both the df-stats aggregation and the scoring join, and dl
+    feeds stats + scoring — persisted so the tokenize/explode pass runs
+    once."""
+    tf = _tf(spark, sf_dir).persist()
+    dl = doc_lengths(spark, sf_dir).persist()
     q = spark.createDataFrame(FIXED_QUERIES, "qid int, term string")
     stats = dl.agg(
         F.count("*").cast("double").alias("n"),

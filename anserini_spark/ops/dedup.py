@@ -100,10 +100,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str,
     )
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, array<long> minhash) with N_HASHES permutations
-    h_i(x) = xxhash64(shingle, seed=i)."""
-    sh = _shingles(spark, sf_dir)
+def _signatures_from_shingles(sh: DataFrame) -> DataFrame:
     mins = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
         for i in range(N_HASHES)
@@ -114,10 +111,19 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, array<long> minhash) with N_HASHES permutations
+    h_i(x) = xxhash64(shingle, seed=i)."""
+    return _signatures_from_shingles(_shingles(spark, sf_dir))
+
+
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidates (band-bucket join) verified by exact Jaccard on
-    the candidate set only — the scalable near-dup path."""
-    sig = minhash_signatures(spark, sf_dir)
+    the candidate set only — the scalable near-dup path. The shingle
+    table feeds the signature build AND the verify join, so it is
+    persisted for the run (one tokenize pass, three consumers)."""
+    sh_cached = _shingles(spark, sf_dir).persist()
+    sig = _signatures_from_shingles(sh_cached)
     rows_per_band = N_HASHES // N_BANDS
     bands = sig.select(
         "doc_id",
@@ -153,7 +159,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # verify candidates with exact Jaccard over shingle sets
-    sh = _shingles(spark, sf_dir)
+    sh = sh_cached
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle"))

@@ -50,9 +50,17 @@ RESULT_SCHEMA = "qid int, doc_id long, score float"
 
 
 class InvertedIndex:
-    """Handle on an index directory written by ``build_index``."""
+    """Handle on an index directory written by ``build_index``.
 
-    def __init__(self, spark: SparkSession, index_dir: str):
+    ``cache=True`` persists the dictionary and docmap in executor
+    memory (the analogue of Lucene's term-dictionary/FS cache,
+    `SearchCollection.java:221-225` ``-inmem``); ``cache_blocks``
+    additionally pins the posting blocks — appropriate when the index
+    fits executor memory (bench/dev), not at full corpus scale where
+    parquet min/max pruning + OS page cache do this job."""
+
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 cache: bool = True, cache_blocks: bool = False):
         self.spark = spark
         self.dir = index_dir
         with open(os.path.join(index_dir, "stats.json")) as f:
@@ -60,22 +68,40 @@ class InvertedIndex:
         with open(os.path.join(index_dir, "manifest.json")) as f:
             self.manifest = json.load(f)
         self.analyzer = self.manifest["docvec"]["lineage"]["analyzer"]
+        self._cache = cache
+        self._cache_blocks = cache_blocks
+        self._dfs: Dict[str, DataFrame] = {}
+
+    def _load(self, name: str, do_cache: bool) -> DataFrame:
+        if name not in self._dfs:
+            df = self.spark.read.parquet(os.path.join(self.dir, f"{name}.parquet"))
+            if do_cache:
+                df = df.cache()
+            self._dfs[name] = df
+        return self._dfs[name]
 
     @property
     def blocks(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.dir, "blocks.parquet"))
+        return self._load("blocks", self._cache_blocks)
 
     @property
     def docvec(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.dir, "docvec.parquet"))
+        return self._load("docvec", False)
 
     @property
     def docmap(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.dir, "docmap.parquet"))
+        # column-pruned projection of docvec (parquet skips the term
+        # arrays); cached when cache=True
+        if "docmap" not in self._dfs:
+            df = self.docvec.select("doc_id", "url", "segment", "doclen")
+            if self._cache:
+                df = df.cache()
+            self._dfs["docmap"] = df
+        return self._dfs["docmap"]
 
     @property
     def dictionary(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.dir, "dictionary.parquet"))
+        return self._load("dictionary", self._cache)
 
     def analyze_query(self, text: str) -> List[str]:
         if self.analyzer == "ws":
@@ -96,16 +122,26 @@ class InvertedIndex:
 
 
 def _query_weights(
-    index: InvertedIndex, queries: Dict[int, str], params: BM25Params
+    index: InvertedIndex, queries: Dict[int, str], params: BM25Params,
+    boosts: Optional[Dict[int, Dict[str, float]]] = None,
 ) -> Tuple[Dict[int, Dict[str, np.float32]], BM25Scorer]:
     """Analyze queries, look up dfs, precompute float32 term weights.
 
     Bag-of-words semantics (`BagOfWordsQueryGenerator.java:34-43`):
-    duplicate query terms act as boost = occurrence count.
-    """
+    duplicate query terms act as boost = occurrence count. When
+    ``boosts`` is given (RM3/expansion path: pre-analyzed term ->
+    boost maps, `Rm3Reranker.java:96-116` BoostQuery analogue), the
+    per-term weight is boost * idf and ``queries`` text is ignored for
+    those qids."""
     scorer = BM25Scorer(index.stats["doc_count"], index.stats["avgdl"], params)
-    per_q_tokens = {qid: index.analyze_query(text) for qid, text in queries.items()}
+    boosts = boosts or {}
+    per_q_tokens = {
+        qid: index.analyze_query(text)
+        for qid, text in queries.items()
+        if qid not in boosts
+    }
     all_terms = {t for toks in per_q_tokens.values() for t in toks}
+    all_terms |= {t for m in boosts.values() for t in m}
     dfs = index.term_dfs(all_terms)
     weights: Dict[int, Dict[str, np.float32]] = {}
     for qid, toks in per_q_tokens.items():
@@ -118,6 +154,12 @@ def _query_weights(
             else:
                 wmap[t] = scorer.weight(dfs[t])
         weights[qid] = wmap
+    for qid, bmap in boosts.items():
+        weights[qid] = {
+            t: np.float32(np.float32(b) * scorer.weight(dfs[t]))
+            for t, b in bmap.items()
+            if t in dfs
+        }
     return weights, scorer
 
 
@@ -374,8 +416,9 @@ def _maxscore_query(terms, wmap, meta, get_decoded, decode_subset, acc, k):
 def search_kernel(
     index: InvertedIndex, queries: Dict[int, str], params: BM25Params,
     prune: bool = True,
+    boosts: Optional[Dict[int, Dict[str, float]]] = None,
 ) -> DataFrame:
-    weights, scorer = _query_weights(index, queries, params)
+    weights, scorer = _query_weights(index, queries, params, boosts)
     all_terms = sorted({t for wmap in weights.values() for t in wmap})
     if not all_terms:
         return index.spark.createDataFrame(
@@ -408,12 +451,29 @@ class SimpleSearcher:
         self.index = InvertedIndex(spark, index_dir)
         self.params = BM25Params(k1=k1, b=b)
         self.engine = engine
+        self._rm3: Optional[Tuple[int, int, float]] = None
 
     def set_bm25(self, k1: float, b: float) -> None:
         self.params = BM25Params(k1=k1, b=b, k=self.params.k)
 
+    def set_rm3(self, fb_docs: int = 10, fb_terms: int = 10,
+                alpha: float = 0.5) -> None:
+        """Enable RM3 PRF (`SimpleSearcher.set_rm3_reranker` analogue)."""
+        self._rm3 = (fb_docs, fb_terms, alpha)
+
+    def unset_rm3(self) -> None:
+        self._rm3 = None
+
     def batch_search(self, queries: Dict[int, str], k: int = 1000) -> DataFrame:
         params = BM25Params(k1=self.params.k1, b=self.params.b, k=k)
+        if self._rm3 is not None:
+            from .rm3 import search_rm3
+
+            fb_docs, fb_terms, alpha = self._rm3
+            hits, _ = search_rm3(self.index, queries, params,
+                                 fb_docs=fb_docs, fb_terms=fb_terms,
+                                 alpha=alpha)
+            return hits
         if self.engine == "dataframe":
             return search_dataframe(self.index, queries, params)
         return search_kernel(self.index, queries, params)

@@ -12,6 +12,12 @@ def get_spark(app: str = "anserini-spark", master: str | None = None,
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     shuffle = shuffle_partitions or int(cpus)
+    # pin per-worker native thread pools: N python workers each spinning
+    # their own BLAS/OMP pool oversubscribes the host (spin-wait storms
+    # show up as system-CPU time)
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
+                "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     return (
         SparkSession.builder.master(master)
         .appName(app)

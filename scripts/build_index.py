@@ -1,0 +1,58 @@
+"""spark-submit entry point: build the inverted index from a corpus
+parquet/Iceberg table.
+
+    spark-submit --master local[32] --py-files anserini_spark.zip \\
+        scripts/build_index.py --corpus /path/corpus.parquet \\
+        --out /path/index [--partitions 32] [--analyzer porter]
+
+Resumable: re-running with the same --out skips completed stages
+(per-stage manifest with lineage + metrics).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--corpus", required=True,
+                    help="parquet dir with (url, warc_ts, html, text, lang)")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--partitions", type=int, default=32)
+    ap.add_argument("--block-partitions", type=int, default=None)
+    ap.add_argument("--analyzer", default="porter",
+                    choices=["porter", "none", "ws"])
+    ap.add_argument("--lang", default="en")
+    ap.add_argument("--keep-stopwords", action="store_true")
+    ap.add_argument("--from-html", action="store_true",
+                    help="index from the html column (runs the HTML->text "
+                         "extraction kernel) instead of pre-extracted text")
+    args = ap.parse_args()
+
+    from anserini_spark.index.build import IndexConfig, build_index
+
+    spark = SparkSession.builder.appName("anserini-build-index").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    cfg = IndexConfig(
+        out_dir=args.out,
+        analyzer=args.analyzer,
+        keep_stopwords=args.keep_stopwords,
+        lang=None if args.lang == "all" else args.lang,
+        doc_partitions=args.partitions,
+        block_partitions=args.block_partitions or args.partitions,
+        source_col="html" if args.from_html else "text",
+    )
+    corpus = spark.read.parquet(args.corpus)
+    man = build_index(spark, corpus, cfg)
+    json.dump(man, sys.stdout, indent=2, default=str)
+    print()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

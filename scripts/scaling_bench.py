@@ -1,0 +1,158 @@
+"""Two-cluster-size scaling benchmark (north_rule criterion).
+
+No real cluster exists in this sandbox, so the same spark-submit
+--py-files job runs at two parallelism levels (local[N] and local[4N])
+on the same materialized corpus parquet; reports throughput at both
+plus efficiency = (R_4N / R_N) / 4 and appends the table to BENCH.md.
+
+    python scripts/scaling_bench.py [--n 8] [--target-docs 100000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def make_pyfiles_zip(path: str) -> None:
+    with zipfile.ZipFile(path, "w") as z:
+        pkg = os.path.join(REPO, "anserini_spark")
+        for root, _, files in os.walk(pkg):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    z.write(full, os.path.relpath(full, REPO))
+
+
+def spark_submit(master: str, pyfiles: str, script: str, *args: str) -> float:
+    cmd = [
+        "spark-submit",
+        "--master", master,
+        "--conf", "spark.sql.shuffle.partitions="
+        + master.split("[")[1].rstrip("]"),
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.driver.memory=16g",
+        "--py-files", pyfiles,
+        script, *args,
+    ]
+    env = dict(os.environ)
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
+                "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        env.setdefault(var, "1")
+    t0 = time.time()
+    r = subprocess.run(cmd, capture_output=True, text=True, env=env)
+    wall = time.time() - t0
+    if r.returncode != 0:
+        sys.stderr.write(r.stdout[-3000:] + "\n" + r.stderr[-5000:])
+        raise SystemExit(f"spark-submit failed at {master}")
+    return wall
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=4)
+    ap.add_argument("--target-docs", type=int, default=2_400_000,
+                    help="corpus rows before lang filter (~40%% survive)")
+    args = ap.parse_args()
+    n, n4 = args.n, args.n * 4
+
+    work = tempfile.mkdtemp(prefix="anserini_scaling_")
+    pyfiles = os.path.join(work, "anserini_spark.zip")
+    make_pyfiles_zip(pyfiles)
+
+    # materialize the shared corpus once (outside the timed jobs)
+    corpus_dir = os.path.join(work, "corpus.parquet")
+    subprocess.run(
+        [
+            sys.executable, "-c",
+            f"""
+import sys; sys.path.insert(0, {REPO!r})
+from anserini_spark.session import get_spark
+from anserini_spark.corpus.synth import web_corpus
+import duckdb
+base = duckdb.connect().execute(
+    "SELECT count(*) FROM read_parquet('{SF_DIR}/documents.parquet')"
+).fetchone()[0]
+mult = max(1, {args.target_docs} // int(base))
+spark = get_spark(master='local[{n4}]')
+spark.sparkContext.setLogLevel('ERROR')
+web_corpus(spark, {SF_DIR!r}, multiplier=mult).write.mode('overwrite').parquet({corpus_dir!r})
+spark.stop()
+""",
+        ],
+        check=True,
+    )
+
+    results = {}
+    for label, cores in (("N", n), ("4N", n4)):
+        out = os.path.join(work, f"idx_{label}")
+        shutil.rmtree(out, ignore_errors=True)
+        wall = spark_submit(
+            f"local[{cores}]", pyfiles,
+            os.path.join(REPO, "scripts", "build_index.py"),
+            "--corpus", corpus_dir, "--out", out,
+            "--partitions", str(cores), "--from-html",
+        )
+        with open(os.path.join(out, "manifest.json")) as f:
+            man = json.load(f)
+        docs = man["docvec"]["docs"]
+        # job wall includes fixed JVM/session startup; use the summed
+        # stage walls (the distributed work) for throughput, report both
+        stage_wall = sum(
+            man[s]["wall_s"] for s in ("docvec", "blocks",
+                                       "dictionary", "stats")
+        )
+        results[label] = {
+            "cores": cores,
+            "job_wall_s": round(wall, 1),
+            "stage_wall_s": round(stage_wall, 1),
+            "docs": docs,
+            "docs_per_sec": round(docs / stage_wall, 1),
+            "postings_per_sec": man["blocks"]["postings_per_sec"],
+        }
+
+    eff = results["4N"]["docs_per_sec"] / (4 * results["N"]["docs_per_sec"])
+    report = {
+        "sf_dir": SF_DIR,
+        "N": results["N"],
+        "4N": results["4N"],
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(report, indent=2))
+
+    stamp = time.strftime("%Y-%m-%d %H:%M:%S")
+    lines = [
+        "",
+        f"## Scaling run {stamp} (spark-submit --py-files, same corpus)",
+        "",
+        f"Input: {results['N']['docs']} docs from {SF_DIR} "
+        f"(deterministic synthetic web corpus).",
+        "",
+        "| parallelism | cores | stage wall (s) | docs/sec | postings/sec |",
+        "|---|---|---|---|---|",
+        f"| local[{n}] (N) | {n} | {results['N']['stage_wall_s']} | "
+        f"{results['N']['docs_per_sec']} | {results['N']['postings_per_sec']} |",
+        f"| local[{n4}] (4N) | {n4} | {results['4N']['stage_wall_s']} | "
+        f"{results['4N']['docs_per_sec']} | {results['4N']['postings_per_sec']} |",
+        "",
+        f"**Scaling efficiency (R_4N / (4 * R_N)) = {eff:.3f}**"
+        + (" (>= 0.8 criterion met)" if eff >= 0.8 else " (< 0.8)"),
+        "",
+    ]
+    with open(os.path.join(REPO, "BENCH.md"), "a") as f:
+        f.write("\n".join(lines))
+    shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

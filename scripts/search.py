@@ -1,0 +1,60 @@
+"""spark-submit entry point: batch BM25 retrieval -> TREC or MS MARCO
+run file (`SearchCollection.main` / `SearchMsmarco.main` analogue).
+
+    spark-submit --master local[32] --py-files anserini_spark.zip \\
+        scripts/search.py --index /path/index --topics topics.tsv \\
+        --output run.txt [--format trec|msmarco] [--hits 1000] \\
+        [--bm25 0.9,0.4] [--engine kernel|dataframe]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--topics", required=True, help="tsv qid\\tquery")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--format", default="trec", choices=["trec", "msmarco"])
+    ap.add_argument("--hits", type=int, default=1000)
+    ap.add_argument("--bm25", default="0.9,0.4")
+    ap.add_argument("--engine", default="kernel",
+                    choices=["kernel", "dataframe"])
+    ap.add_argument("--rm3", action="store_true",
+                    help="enable RM3 pseudo-relevance feedback")
+    ap.add_argument("--rm3-params", default="10,10,0.5",
+                    help="fbDocs,fbTerms,alpha")
+    ap.add_argument("--tag", default="AnseriniSpark")
+    args = ap.parse_args()
+
+    from anserini_spark.io.runs import (
+        read_topics_tsv,
+        write_msmarco_run,
+        write_trec_run,
+    )
+    from anserini_spark.search.searcher import SimpleSearcher
+
+    spark = SparkSession.builder.appName("anserini-search").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    k1, b = (float(x) for x in args.bm25.split(","))
+    searcher = SimpleSearcher(spark, args.index, k1=k1, b=b,
+                              engine=args.engine)
+    if args.rm3:
+        fd, ft, al = args.rm3_params.split(",")
+        searcher.set_rm3(int(fd), int(ft), float(al))
+    topics = read_topics_tsv(spark, args.topics)
+    hits = searcher.batch_search(topics, k=args.hits)
+    if args.format == "trec":
+        write_trec_run(hits, args.output, tag=args.tag)
+    else:
+        write_msmarco_run(hits, args.output)
+    print(f"wrote {args.format} run for {len(topics)} topics -> {args.output}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

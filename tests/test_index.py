@@ -50,20 +50,34 @@ def test_dictionary_matches_bruteforce(spark, tiny_index, brute):
 
 
 def test_doclens_match(spark, tiny_index, brute):
-    rows = spark.read.parquet(os.path.join(tiny_index, "docmap.parquet")).collect()
+    rows = (
+        spark.read.parquet(os.path.join(tiny_index, "docvec.parquet"))
+        .select("url", "doclen")
+        .collect()
+    )
     got = {r["url"]: r["doclen"] for r in rows}
     assert got == brute["doclen"]
 
 
-def test_docids_order_isomorphic_to_urls(spark, tiny_index):
+def test_docids_order_isomorphic_to_urls_within_segment(spark, tiny_index):
+    """Ids are url-order-isomorphic WITHIN a segment (what the scoring
+    kernel's doc_id tie-break relies on); cross-segment ordering is by
+    url string at merge time. Urls are globally unique (dedup)."""
     rows = (
-        spark.read.parquet(os.path.join(tiny_index, "docmap.parquet"))
-        .orderBy("doc_id")
+        spark.read.parquet(os.path.join(tiny_index, "docvec.parquet"))
+        .select("segment", "doc_id", "url")
+        .orderBy("segment", "doc_id")
         .collect()
     )
-    urls = [r["url"] for r in rows]
-    assert urls == sorted(urls)
-    assert len(set(urls)) == len(urls)  # dedup happened
+    from collections import defaultdict
+
+    per_seg = defaultdict(list)
+    for r in rows:
+        per_seg[r["segment"]].append(r["url"])
+    for seg, urls in per_seg.items():
+        assert urls == sorted(urls), f"segment {seg} not url-sorted"
+    all_urls = [r["url"] for r in rows]
+    assert len(set(all_urls)) == len(all_urls)  # dedup happened
 
 
 def test_postings_blocks_consistent_with_dictionary(spark, tiny_index):
