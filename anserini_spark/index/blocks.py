@@ -50,6 +50,14 @@ def _varint_bytes(arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return out, nb
 
 
+# doc-range bucket width (docs per bucket = 2^RANGE_SHIFT): posting
+# partitioning hashes (term, doc_id >> RANGE_SHIFT) so Zipf head terms
+# split across partitions deterministically (no sampling pass); blocks
+# never span a bucket, so the per-(term, segment) block runs from
+# different partitions cover disjoint sorted doc ranges.
+RANGE_SHIFT = 14
+
+
 def encode_blocks(
     terms: np.ndarray,
     segments: np.ndarray,
@@ -58,7 +66,9 @@ def encode_blocks(
     doclens: np.ndarray,
     block_size: int = BLOCK_SIZE,
 ) -> pd.DataFrame:
-    """Encode a (term, doc_id)-sorted posting run into block rows."""
+    """Encode a (term, doc_id)-sorted posting run into block rows.
+    Breaks at term/segment/range-bucket changes and every
+    ``block_size`` postings."""
     n = len(doc_ids)
     if n == 0:
         return pd.DataFrame(
@@ -82,8 +92,13 @@ def encode_blocks(
     tfs = np.asarray(tfs, dtype=np.int64)
     doclens = np.asarray(doclens, dtype=np.int64)
 
+    buckets = doc_ids >> RANGE_SHIFT
     new_group = np.ones(n, dtype=bool)
-    new_group[1:] = (terms[1:] != terms[:-1]) | (segments[1:] != segments[:-1])
+    new_group[1:] = (
+        (terms[1:] != terms[:-1])
+        | (segments[1:] != segments[:-1])
+        | (buckets[1:] != buckets[:-1])
+    )
     gid = np.cumsum(new_group) - 1
     group_start = np.zeros(gid[-1] + 1, dtype=np.int64)
     group_start[gid[new_group]] = np.nonzero(new_group)[0]

@@ -4,30 +4,34 @@
 Pipeline (all declarative DataFrame ops + two Arrow-batched kernels):
 
 1. **ingest/docvec** — corpus ``(url, warc_ts, html, text, lang)`` ->
-   filter non-indexable (lang, empty text: counted like
-   `IndexCollection.java:117-145`'s atomics via ``df.observe``) ->
-   ``repartitionByRange(P, url)`` + sort-within -> one Arrow kernel
-   assigns doc ids + segment, runs the analyzer chain, and emits the
-   per-doc term-frequency vector (the "docvectors" store):
+   filter non-indexable (lang, whitelist, empty text) -> Arrow kernel
+   running HTML->text extraction + the analyzer chain + per-doc tf
+   BEFORE any shuffle (the multi-KB page payload never crosses the
+   wire) -> hash-``repartition(P, url)`` (no range sampling: a
+   range-partitioner sample pass would re-run the extraction kernel)
+   + sort-within-partition by url -> id-assignment kernel ->
    ``docvec(doc_id, url, segment, doclen, terms, tfs)``.
 
    Doc ids are ``(partition << 40) | row`` — order-isomorphic to the
    url sort inside a segment, dense within a segment (so per-segment
-   scoring uses a dense array), gap-free not required globally: final
-   tie-breaking compares url strings, exactly like the reference's
+   scoring uses a dense array). Cross-segment ordering is by url
+   string at the top-k merge, exactly like the reference's
    BREAK_SCORE_TIES_BY_DOCID on the collection docid string
    (`SearchCollection.java:115-116`). Duplicate urls are dropped
-   in-kernel (sorted => adjacent; cf. `IndexCollection.java:213-215`).
+   in-kernel (hash-colocated + sorted => adjacent;
+   cf. `IndexCollection.java:213-215`).
 
-2. **postings blocks** — explode docvec ->
-   ``repartitionByRange(B, term, doc_id)`` + sort-within (this range
-   partitioning IS the head-term skew strategy: a Zipf head term is
-   split across many partitions by doc range, never materialized in
-   one task; per-(term,doc) tf was already computed doc-locally in
-   stage 1, so no skewed groupBy ever runs) -> vectorized block encode
-   (`blocks.py`) -> parquet sorted by (term, doc_id) per file, so a
-   query's ``term IN (...)`` filter prunes files/row-groups via
-   parquet min/max stats.
+2. **postings blocks** — explode docvec -> hash-``repartition(B,
+   term, doc_id >> RANGE_SHIFT)`` + sort-within by (term, doc_id).
+   This is the head-term skew strategy: a Zipf head term splits
+   deterministically across partitions by 2^RANGE_SHIFT-doc buckets
+   (never materialized in one task, no sampling pass); per-(term,doc)
+   tf was already computed doc-locally in stage 1, so no skewed
+   groupBy ever runs. The block kernel breaks at bucket boundaries so
+   cross-partition block runs of one (term, segment) cover disjoint
+   ascending doc ranges. Files are (term, doc_id)-sorted within
+   partitions, so a query's ``term IN (...)`` filter prunes at parquet
+   row-group granularity via min/max stats.
 
 3. **dictionary** — per-term (df, cf) aggregated from block metadata
    (`IndexReaderUtils.java:205-221` semantics), plus collection stats
@@ -56,7 +60,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..analysis.analyzer import analyze
-from .blocks import encode_blocks
+from .blocks import RANGE_SHIFT, encode_blocks
 
 SEG_SHIFT = 40  # doc_id = (segment << SEG_SHIFT) | row_in_segment
 SEG_MASK = (1 << SEG_SHIFT) - 1
@@ -99,6 +103,8 @@ class IndexConfig:
     block_partitions: int = 32        # B: posting-sort parallelism
     block_size: int = 128
     source_col: str = "text"          # "text" (pre-extracted) | "html"
+    whitelist: Optional[str] = None   # path: newline-delimited urls to
+                                      # keep (`IndexCollection.java:707-712`)
     extra: dict = field(default_factory=dict)
 
 
@@ -268,6 +274,13 @@ def build_index(spark: SparkSession, corpus: DataFrame, cfg: IndexConfig) -> dic
             df = df.filter(F.col("lang") == cfg.lang)
         if src == "text":
             df = df.filter(F.length(F.trim(F.col("text"))) > 0)
+        if cfg.whitelist is not None:
+            # docid whitelist (`IndexCollection.java:208-211,707-712`):
+            # broadcast semi-join against the allowed-url set
+            wl = spark.read.text(cfg.whitelist).select(
+                F.trim(F.col("value")).alias("url")
+            ).filter(F.col("url") != "")
+            df = df.join(F.broadcast(wl), "url", "left_semi")
         # hash-partition by url (NOT range: range sampling would re-run
         # the extraction kernel for its sample pass — a full second
         # corpus scan). Segments therefore hold hash-disjoint url sets,
@@ -275,16 +288,20 @@ def build_index(spark: SparkSession, corpus: DataFrame, cfg: IndexConfig) -> dic
         # within a segment (all the scoring kernel needs), and
         # cross-segment ordering is by url string at the top-k merge,
         # exactly the reference's docid-string tie-break.
+        from pyspark.sql import Observation
+
+        obs = Observation("docvec_metrics")
         df = (
             df.select("url", src)
             .mapInPandas(_analyze_kernel(cfg), schema=ANALYZED_SCHEMA)
             .repartition(cfg.doc_partitions, "url")
             .sortWithinPartitions("url")
             .mapInPandas(_assign_ids_kernel(), schema=DOCVEC_SCHEMA)
+            .observe(obs, F.count(F.lit(1)).alias("docs"))
         )
         df.write.mode("overwrite").parquet(docvec_path)
         wall = time.time() - t0
-        n_docs = spark.read.parquet(docvec_path).count()
+        n_docs = int(obs.get["docs"])  # no extra job: observed on write
         man.record(
             "docvec",
             wall_s=round(wall, 3),
@@ -302,6 +319,14 @@ def build_index(spark: SparkSession, corpus: DataFrame, cfg: IndexConfig) -> dic
     # ---- stage 3: posting blocks ---------------------------------------
     if not man.done("blocks"):
         t0 = time.time()
+        # wide Arrow batches amortize per-batch kernel overhead on the
+        # narrow posting rows (measured ~30% stage speedup vs the 10k
+        # default; do NOT raise it for the html-wide docvec stage)
+        prev_batch = spark.conf.get(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", "10000"
+        )
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                       str(cfg.extra.get("blocks_arrow_batch", 100_000)))
         postings = (
             docvec.select(
                 "doc_id",
@@ -316,22 +341,33 @@ def build_index(spark: SparkSession, corpus: DataFrame, cfg: IndexConfig) -> dic
                 F.col("e.tfs").alias("tf"),
                 F.col("doclen"),
             )
-            .repartitionByRange(cfg.block_partitions, "term", "doc_id")
+            .repartition(
+                cfg.block_partitions,
+                F.col("term"),
+                F.shiftright(F.col("doc_id"), RANGE_SHIFT),
+            )
             .sortWithinPartitions("term", "doc_id")
             .mapInPandas(_blocks_kernel(cfg), schema=BLOCKS_SCHEMA)
         )
+        from pyspark.sql import Observation
+
+        obs = Observation("blocks_metrics")
+        postings = postings.observe(
+            obs,
+            F.count(F.lit(1)).alias("blocks"),
+            F.sum("n").alias("postings"),
+        )
         postings.write.mode("overwrite").parquet(blocks_path)
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                       prev_batch)
         wall = time.time() - t0
-        bl = spark.read.parquet(blocks_path)
-        agg = bl.agg(
-            F.count("*").alias("blocks"), F.sum("n").alias("postings")
-        ).collect()[0]
+        m = obs.get
         man.record(
             "blocks",
             wall_s=round(wall, 3),
-            blocks=agg["blocks"],
-            postings=agg["postings"],
-            postings_per_sec=round((agg["postings"] or 0) / max(wall, 1e-9), 1),
+            blocks=int(m["blocks"]),
+            postings=int(m["postings"] or 0),
+            postings_per_sec=round(int(m["postings"] or 0) / max(wall, 1e-9), 1),
             bytes=_dir_bytes(blocks_path),
             lineage={"stage": "blocks", "from": "docvec",
                      "partitions": cfg.block_partitions,
@@ -340,18 +376,22 @@ def build_index(spark: SparkSession, corpus: DataFrame, cfg: IndexConfig) -> dic
 
     # ---- stage 4: dictionary + collection stats ------------------------
     if not man.done("dictionary"):
+        from pyspark.sql import Observation
+
         t0 = time.time()
         bl = spark.read.parquet(blocks_path)
+        obs = Observation("dict_metrics")
         (
             bl.groupBy("term")
             .agg(F.sum("n").alias("df"), F.sum("sum_tf").alias("cf"))
             .repartitionByRange(max(1, cfg.block_partitions // 4), "term")
             .sortWithinPartitions("term")
+            .observe(obs, F.count(F.lit(1)).alias("terms"))
             .write.mode("overwrite")
             .parquet(dict_path)
         )
         man.record("dictionary", wall_s=round(time.time() - t0, 3),
-                   bytes=_dir_bytes(dict_path))
+                   terms=int(obs.get["terms"]), bytes=_dir_bytes(dict_path))
 
     if not man.done("stats"):
         t0 = time.time()
@@ -366,7 +406,9 @@ def build_index(spark: SparkSession, corpus: DataFrame, cfg: IndexConfig) -> dic
             )
             .collect()
         )
-        uniq = spark.read.parquet(dict_path).count()
+        uniq = man.entries["dictionary"].get("terms")
+        if uniq is None:  # older manifests: fall back to a count job
+            uniq = spark.read.parquet(dict_path).count()
         num_docs = sum(int(r["cnt"]) for r in seg_rows)
         doc_count = sum(int(r["nonempty"] or 0) for r in seg_rows)
         sum_tf = sum(int(r["sum_tf"] or 0) for r in seg_rows)

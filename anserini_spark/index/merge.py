@@ -31,6 +31,7 @@ import time
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from .blocks import RANGE_SHIFT
 from .build import IndexConfig, _Manifest, _blocks_kernel, _dir_bytes, BLOCKS_SCHEMA
 
 SLICE_SHIFT = 16  # segment' = (slice << SLICE_SHIFT) | segment
@@ -97,7 +98,8 @@ def merge_indexes(spark: SparkSession, slice_dirs: list[str], cfg: IndexConfig) 
                 F.col("e.terms").alias("term"), "segment", "doc_id",
                 F.col("e.tfs").alias("tf"), "doclen",
             )
-            .repartitionByRange(cfg.block_partitions, "term", "doc_id")
+            .repartition(cfg.block_partitions, F.col("term"),
+                         F.shiftright(F.col("doc_id"), RANGE_SHIFT))
             .sortWithinPartitions("term", "doc_id")
             .mapInPandas(_blocks_kernel(cfg), schema=BLOCKS_SCHEMA)
         )

@@ -1,0 +1,85 @@
+"""QLD (query likelihood, Dirichlet smoothing) retrieval —
+`SearchCollection.java:298-302` selects Lucene's
+``LMDirichletSimilarity(mu)``, default mu=1000
+(`SearchArgs.java:125-139`).
+
+Per-matched-term contribution (Lucene LMDirichletSimilarity):
+
+    p(t|C)  = cf_t / sumTotalTermFreq
+    score_t = log(1 + tf / (mu * p(t|C))) + log(mu / (dl + mu))
+    doc     = max(0, sum_t score_t)      (non-negative clamp)
+
+Declarative DataFrame implementation (float64 — QLD parity target is
+formula-level, not Lucene-float32-bit-level; the float32 path is the
+BM25 engine). Duplicate query terms contribute once per occurrence
+(bag-of-words).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import Dict
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .searcher import InvertedIndex
+from .tieadjust import adjust_score_ties
+
+
+def search_qld(index: InvertedIndex, queries: Dict[int, str], mu: float = 1000.0,
+               k: int = 1000) -> DataFrame:
+    spark = index.spark
+    sum_tf = float(index.stats["sum_tf"])
+    per_q = {qid: Counter(index.analyze_query(t)) for qid, t in queries.items()}
+    all_terms = sorted({t for c in per_q.values() for t in c})
+    if not all_terms:
+        return spark.createDataFrame(
+            [], "qid int, docid string, rank int, score double"
+        )
+    cf_rows = (
+        index.dictionary.filter(F.col("term").isin(all_terms))
+        .select("term", "cf")
+        .collect()
+    )
+    cfs = {r["term"]: int(r["cf"]) for r in cf_rows}
+    rows = [
+        (qid, t, float(cnt), cfs[t] / sum_tf)
+        for qid, c in per_q.items()
+        for t, cnt in c.items()
+        if t in cfs
+    ]
+    if not rows:
+        return spark.createDataFrame(
+            [], "qid int, docid string, rank int, score double"
+        )
+    qterms = spark.createDataFrame(rows, "qid int, term string, boost double, p_c double")
+    postings = index.docvec.select(
+        "doc_id", "doclen", F.explode(F.arrays_zip("terms", "tfs")).alias("e")
+    ).select(
+        F.col("e.terms").alias("term"), "doc_id",
+        F.col("e.tfs").alias("tf"), "doclen",
+    )
+    tf = F.col("tf").cast("double")
+    dl = F.col("doclen").cast("double")
+    contrib = F.col("boost") * (
+        F.log(F.lit(1.0) + tf / (F.lit(mu) * F.col("p_c")))
+        + F.log(F.lit(mu) / (dl + F.lit(mu)))
+    )
+    hits = (
+        postings.join(F.broadcast(qterms), "term")
+        .groupBy("qid", "doc_id")
+        .agg(F.sum(contrib).alias("raw"))
+        .withColumn("score", F.greatest(F.lit(0.0), F.col("raw")))
+        .filter(F.col("score") > 0)
+        .drop("raw")
+    )
+    docmap = index.docmap.select("doc_id", "url")
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("url"))
+    ranked = (
+        hits.join(docmap, "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", F.col("url").alias("docid"), "rank", "score")
+    )
+    return adjust_score_ties(ranked).orderBy("qid", "rank")

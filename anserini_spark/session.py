@@ -18,8 +18,16 @@ def get_spark(app: str = "anserini-spark", master: str | None = None,
     for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
                 "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
         os.environ.setdefault(var, "1")
+    # shuffle/spill on tmpfs when available: the sandbox's disk shows
+    # high IO-contention variance under concurrent shuffle writers
+    local_dir = "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else None
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+    builder = SparkSession.builder.master(master)
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     return (
-        SparkSession.builder.master(master)
+        builder
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
