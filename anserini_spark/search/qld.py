@@ -1,15 +1,17 @@
-"""QLD (query likelihood, Dirichlet smoothing) retrieval —
-`SearchCollection.java:298-302` selects Lucene's
-``LMDirichletSimilarity(mu)``, default mu=1000
-(`SearchArgs.java:125-139`).
+"""Language-model similarities — QLD (Dirichlet) and QLJM
+(Jelinek-Mercer), selected in the reference by
+`SearchCollection.java:298-307` (Lucene ``LMDirichletSimilarity(mu)``
+default mu=1000, ``LMJelinekMercerSimilarity(lambda)`` default 0.1,
+`SearchArgs.java:125-139`).
 
-Per-matched-term contribution (Lucene LMDirichletSimilarity):
+Per-matched-term contributions:
 
-    p(t|C)  = cf_t / sumTotalTermFreq
-    score_t = log(1 + tf / (mu * p(t|C))) + log(mu / (dl + mu))
-    doc     = max(0, sum_t score_t)      (non-negative clamp)
+    p(t|C)   = cf_t / sumTotalTermFreq
+    QLD_t    = log(1 + tf / (mu * p(t|C))) + log(mu / (dl + mu))
+    QLJM_t   = log(1 + ((1 - lambda) * tf / dl) / (lambda * p(t|C)))
+    doc      = max(0, sum_t score_t)     (non-negative clamp)
 
-Declarative DataFrame implementation (float64 — QLD parity target is
+Declarative DataFrame implementations (float64 — LM parity target is
 formula-level, not Lucene-float32-bit-level; the float32 path is the
 BM25 engine). Duplicate query terms contribute once per occurrence
 (bag-of-words).
@@ -28,6 +30,28 @@ from .tieadjust import adjust_score_ties
 
 
 def search_qld(index: InvertedIndex, queries: Dict[int, str], mu: float = 1000.0,
+               k: int = 1000) -> DataFrame:
+    def contrib(tf, dl):
+        return (
+            F.log(F.lit(1.0) + tf / (F.lit(mu) * F.col("p_c")))
+            + F.log(F.lit(mu) / (dl + F.lit(mu)))
+        )
+
+    return _lm_search(index, queries, contrib, k)
+
+
+def search_qljm(index: InvertedIndex, queries: Dict[int, str],
+                lam: float = 0.1, k: int = 1000) -> DataFrame:
+    def contrib(tf, dl):
+        return F.log(
+            F.lit(1.0)
+            + (F.lit(1.0 - lam) * tf / dl) / (F.lit(lam) * F.col("p_c"))
+        )
+
+    return _lm_search(index, queries, contrib, k)
+
+
+def _lm_search(index: InvertedIndex, queries: Dict[int, str], contrib_fn,
                k: int = 1000) -> DataFrame:
     spark = index.spark
     sum_tf = float(index.stats["sum_tf"])
@@ -62,10 +86,7 @@ def search_qld(index: InvertedIndex, queries: Dict[int, str], mu: float = 1000.0
     )
     tf = F.col("tf").cast("double")
     dl = F.col("doclen").cast("double")
-    contrib = F.col("boost") * (
-        F.log(F.lit(1.0) + tf / (F.lit(mu) * F.col("p_c")))
-        + F.log(F.lit(mu) / (dl + F.lit(mu)))
-    )
+    contrib = F.col("boost") * contrib_fn(tf, dl)
     hits = (
         postings.join(F.broadcast(qterms), "term")
         .groupBy("qid", "doc_id")
