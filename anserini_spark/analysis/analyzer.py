@@ -100,6 +100,28 @@ def analyze(text: str, stem: str = "porter", keep_stopwords: bool = False) -> Li
     return out
 
 
+def analyze_with_positions(
+    text: str, stem: str = "porter", keep_stopwords: bool = False
+) -> List[tuple]:
+    """Like ``analyze`` but returns [(term, position)] where position
+    is the token's index in the tokenized stream BEFORE stopword
+    removal — Lucene's StopFilter keeps position increments, so
+    removed stopwords leave gaps (`DefaultEnglishAnalyzer.java:57`,
+    enablePositionIncrements default). SDM's ordered/unordered windows
+    measure distances over these positions."""
+    cache = _TOKEN_CACHE.setdefault((stem, keep_stopwords), {})
+    out: List[tuple] = []
+    for pos, tok in enumerate(tokenize(text)):
+        r = cache.get(tok, _MISS)
+        if r is _MISS:
+            r = _process_token(tok, stem, keep_stopwords)
+            if len(cache) < _CACHE_CAP:
+                cache[tok] = r
+        if r is not None:
+            out.append((r, pos))
+    return out
+
+
 def analyze_series(texts: pd.Series, stem: str = "porter",
                    keep_stopwords: bool = False) -> pd.Series:
     """Vectorized (batch) form used inside pandas UDFs."""

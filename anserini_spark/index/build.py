@@ -65,6 +65,10 @@ from .blocks import RANGE_SHIFT, encode_blocks
 SEG_SHIFT = 40  # doc_id = (segment << SEG_SHIFT) | row_in_segment
 SEG_MASK = (1 << SEG_SHIFT) - 1
 
+_POSITIONS_FIELD = T.StructField(
+    "positions", T.ArrayType(T.ArrayType(T.IntegerType())), True
+)
+
 DOCVEC_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
@@ -75,6 +79,12 @@ DOCVEC_SCHEMA = T.StructType(
         T.StructField("tfs", T.ArrayType(T.IntegerType()), False),
     ]
 )
+
+
+def docvec_schema(store_positions: bool) -> T.StructType:
+    if not store_positions:
+        return DOCVEC_SCHEMA
+    return T.StructType(DOCVEC_SCHEMA.fields + [_POSITIONS_FIELD])
 
 BLOCKS_SCHEMA = T.StructType(
     [
@@ -105,6 +115,9 @@ class IndexConfig:
     source_col: str = "text"          # "text" (pre-extracted) | "html"
     whitelist: Optional[str] = None   # path: newline-delimited urls to
                                       # keep (`IndexCollection.java:707-712`)
+    store_positions: bool = False     # -storePositions analogue: docvec
+                                      # carries per-term position lists
+                                      # (gap-preserving, SDM needs them)
     extra: dict = field(default_factory=dict)
 
 
@@ -126,28 +139,57 @@ ANALYZED_SCHEMA = T.StructType(
 )
 
 
+def analyzed_schema(store_positions: bool) -> T.StructType:
+    if not store_positions:
+        return ANALYZED_SCHEMA
+    return T.StructType(ANALYZED_SCHEMA.fields + [_POSITIONS_FIELD])
+
+
 def _analyze_kernel(cfg: IndexConfig):
     """Pre-shuffle kernel: HTML->text extraction (when source_col is
-    html) + analyzer chain + per-doc tf, emitted as compact rows —
-    the multi-KB html/text payload never crosses the shuffle; only
-    (url, doclen, terms, tfs) is range-partitioned and sorted."""
+    html) + analyzer chain + per-doc tf (optionally per-term position
+    lists), emitted as compact rows — the multi-KB html/text payload
+    never crosses the shuffle; only (url, doclen, terms, tfs[,
+    positions]) is partitioned and sorted."""
     an = _analyze_for(cfg)
     from_html = cfg.source_col == "html"
+    store_pos = cfg.store_positions
     if from_html:
         from ..extraction.html2text import extract_text
+    if store_pos:
+        from ..analysis.analyzer import analyze_with_positions
+
+        stem = "porter" if cfg.analyzer == "porter" else "none"
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             out = {"url": [], "doclen": [], "terms": [], "tfs": []}
+            if store_pos:
+                out["positions"] = []
             texts = b["html"].map(extract_text) if from_html else b["text"]
             for url, text in zip(b["url"], texts):
                 if from_html and (not text or not text.strip()):
                     # empty-doc filter post-extraction
                     # (DefaultLuceneDocumentGenerator.java:64-66)
                     continue
-                counts = Counter(an(text))
-                terms = sorted(counts)
-                tfs = [counts[t] for t in terms]
+                if store_pos:
+                    if cfg.analyzer == "ws":
+                        tp = [(w, i) for i, w in enumerate(
+                            (text or "").split()) if w]
+                    else:
+                        tp = analyze_with_positions(
+                            text or "", stem=stem,
+                            keep_stopwords=cfg.keep_stopwords)
+                    posmap: dict = {}
+                    for t, p in tp:
+                        posmap.setdefault(t, []).append(p)
+                    terms = sorted(posmap)
+                    tfs = [len(posmap[t]) for t in terms]
+                    out["positions"].append([posmap[t] for t in terms])
+                else:
+                    counts = Counter(an(text))
+                    terms = sorted(counts)
+                    tfs = [counts[t] for t in terms]
                 out["url"].append(url)
                 out["doclen"].append(sum(tfs))
                 out["terms"].append(terms)
@@ -158,10 +200,13 @@ def _analyze_kernel(cfg: IndexConfig):
     return fn
 
 
-def _assign_ids_kernel():
+def _assign_ids_kernel(store_positions: bool = False):
     """Post-sort kernel: duplicate-url drop (sorted => adjacent, cf.
     `IndexCollection.java:213-215`) + (segment << 40 | row) id
     assignment by sorted position."""
+    cols = ["doc_id", "url", "segment", "doclen", "terms", "tfs"]
+    if store_positions:
+        cols = cols + ["positions"]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -184,7 +229,7 @@ def _assign_ids_kernel():
             sub.insert(0, "doc_id", [base + row + i for i in range(len(sub))])
             sub.insert(2, "segment", pid)
             row += len(sub)
-            yield sub[["doc_id", "url", "segment", "doclen", "terms", "tfs"]]
+            yield sub[cols]
 
     return fn
 
@@ -293,10 +338,12 @@ def build_index(spark: SparkSession, corpus: DataFrame, cfg: IndexConfig) -> dic
         obs = Observation("docvec_metrics")
         df = (
             df.select("url", src)
-            .mapInPandas(_analyze_kernel(cfg), schema=ANALYZED_SCHEMA)
+            .mapInPandas(_analyze_kernel(cfg),
+                         schema=analyzed_schema(cfg.store_positions))
             .repartition(cfg.doc_partitions, "url")
             .sortWithinPartitions("url")
-            .mapInPandas(_assign_ids_kernel(), schema=DOCVEC_SCHEMA)
+            .mapInPandas(_assign_ids_kernel(cfg.store_positions),
+                         schema=docvec_schema(cfg.store_positions))
             .observe(obs, F.count(F.lit(1)).alias("docs"))
         )
         df.write.mode("overwrite").parquet(docvec_path)

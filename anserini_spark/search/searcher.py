@@ -103,6 +103,16 @@ class InvertedIndex:
     def dictionary(self) -> DataFrame:
         return self._load("dictionary", self._cache)
 
+    @property
+    def docvec_with_positions(self) -> DataFrame:
+        df = self.docvec
+        if "positions" not in df.columns:
+            raise ValueError(
+                "index was built without store_positions=True "
+                "(-storePositions analogue); SDM needs positional postings"
+            )
+        return df
+
     def analyze_query(self, text: str) -> List[str]:
         if self.analyzer == "ws":
             return [w for w in (text or "").split() if w]
