@@ -134,6 +134,7 @@ class InvertedIndex:
 def _query_weights(
     index: InvertedIndex, queries: Dict[int, str], params: BM25Params,
     boosts: Optional[Dict[int, Dict[str, float]]] = None,
+    boosts_are_final: bool = False,
 ) -> Tuple[Dict[int, Dict[str, np.float32]], BM25Scorer]:
     """Analyze queries, look up dfs, precompute float32 term weights.
 
@@ -165,11 +166,18 @@ def _query_weights(
                 wmap[t] = scorer.weight(dfs[t])
         weights[qid] = wmap
     for qid, bmap in boosts.items():
-        weights[qid] = {
-            t: np.float32(np.float32(b) * scorer.weight(dfs[t]))
-            for t, b in bmap.items()
-            if t in dfs
-        }
+        if boosts_are_final:
+            # BM25PRF path: the boost IS the term weight (idf ≡ 1,
+            # `BM25PrfReranker.java:54-65` BM25PrfSimilarity)
+            weights[qid] = {
+                t: np.float32(b) for t, b in bmap.items() if t in dfs
+            }
+        else:
+            weights[qid] = {
+                t: np.float32(np.float32(b) * scorer.weight(dfs[t]))
+                for t, b in bmap.items()
+                if t in dfs
+            }
     return weights, scorer
 
 
@@ -427,8 +435,10 @@ def search_kernel(
     index: InvertedIndex, queries: Dict[int, str], params: BM25Params,
     prune: bool = True,
     boosts: Optional[Dict[int, Dict[str, float]]] = None,
+    boosts_are_final: bool = False,
 ) -> DataFrame:
-    weights, scorer = _query_weights(index, queries, params, boosts)
+    weights, scorer = _query_weights(index, queries, params, boosts,
+                                     boosts_are_final)
     all_terms = sorted({t for wmap in weights.values() for t in wmap})
     if not all_terms:
         return index.spark.createDataFrame(
