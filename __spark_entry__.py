@@ -37,6 +37,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collection_stats": cq.collection_stats,
         "top_terms": cq.top_terms,
         "bm25_topk": cq.bm25_topk,
+        "bm25_tuned_topk": cq.bm25_tuned_topk,
+        "doclen_histogram": cq.doclen_histogram,
+        "top_bigrams": cq.top_bigrams,
         # dedup family
         "exact_dedup": dd.exact_dedup,
         "ngram_jaccard_pairs": dd.ngram_jaccard_pairs,

@@ -147,6 +147,85 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bm25_tuned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MS MARCO tuned configuration k1=0.82, b=0.68
+    (`SearchMsmarco.java:61-64`), same fixed query set."""
+    return _bm25_topk_with(spark, sf_dir, 0.82, 0.68)
+
+
+def _bm25_topk_with(spark: SparkSession, sf_dir: str, k1: float,
+                    b: float) -> DataFrame:
+    tf = _tf(spark, sf_dir).persist()
+    dl = doc_lengths(spark, sf_dir).persist()
+    q = spark.createDataFrame(FIXED_QUERIES, "qid int, term string")
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n"),
+        (F.sum("doclen").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    dfreq = (
+        tf.join(F.broadcast(q.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.count("*").cast("double").alias("dfreq"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n") - F.col("dfreq") + F.lit(0.5)) / (F.col("dfreq") + F.lit(0.5))
+    )
+    tfd = F.col("tf").cast("double")
+    dld = F.col("doclen").cast("double")
+    contrib = idf * tfd / (
+        tfd + F.lit(k1 * (1 - b)) + F.lit(k1 * b) / F.col("avgdl") * dld
+    )
+    scored = (
+        tf.join(F.broadcast(q), "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("qid", "doc_id")
+        .agg(F.sum(contrib).alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("qid", "doc_id", "rank", F.round("score", 4).alias("score"))
+    )
+
+
+def doclen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-length distribution in width-10 buckets (index diagnostics,
+    `util/ExtractDocumentLengths.java` territory)."""
+    return (
+        doc_lengths(spark, sf_dir)
+        .select((F.floor(F.col("doclen") / 10) * 10).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent token bigrams by collection frequency — the
+    positional/n-gram statistic (SDM's ordered-window feature at the
+    collection level)."""
+    d = _docs(spark, sf_dir).withColumn(
+        "toks", F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    ).filter(F.size("toks") >= 2)
+    bg = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2),"
+                " i -> concat_ws(' ', toks[i], toks[i + 1]))"
+            )
+        ).alias("bigram")
+    )
+    return (
+        bg.groupBy("bigram")
+        .agg(F.count("*").alias("cf"))
+        .orderBy(F.desc("cf"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
 def _values_clause() -> str:
     return ", ".join(f"({qid}, '{t}')" for qid, t in FIXED_QUERIES)
 
@@ -168,6 +247,45 @@ tf AS (
 dl AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS doclen FROM tok GROUP BY doc_id
 )
+"""
+
+
+def _bm25_oracle(k1: float, b: float) -> str:
+    return f"""
+WITH {_TOK_CTE},
+q(qid, term) AS (VALUES {_values_clause()}),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(doclen) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+),
+dfreq AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS dfreq FROM tf
+  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term
+),
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         sum(
+           ln(1.0 + (s.n - d.dfreq + 0.5) / (d.dfreq + 0.5))
+           * CAST(tf.tf AS DOUBLE)
+           / (CAST(tf.tf AS DOUBLE) + {k1 * (1 - b)!r}
+              + {k1 * b!r} / s.avgdl * CAST(dl.doclen AS DOUBLE))
+         ) AS score
+  FROM q
+  JOIN dfreq d ON q.term = d.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id
+)
+SELECT qid, doc_id, rank, round(score, 4) AS score
+FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank,
+         score
+  FROM scored
+)
+WHERE rank <= {TOPK}
 """
 
 
@@ -194,40 +312,32 @@ WITH {_TOK_CTE},
 d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
 SELECT term, df FROM d ORDER BY df DESC, term LIMIT 20
 """,
-        "bm25_topk": f"""
-WITH {_TOK_CTE},
-q(qid, term) AS (VALUES {_values_clause()}),
-stats AS (
-  SELECT CAST(count(*) AS DOUBLE) AS n,
-         CAST(sum(doclen) AS DOUBLE) / count(*) AS avgdl
-  FROM dl
-),
-dfreq AS (
-  SELECT term, CAST(count(*) AS DOUBLE) AS dfreq FROM tf
-  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term
-),
-scored AS (
-  SELECT q.qid, tf.doc_id,
-         sum(
-           ln(1.0 + (s.n - d.dfreq + 0.5) / (d.dfreq + 0.5))
-           * CAST(tf.tf AS DOUBLE)
-           / (CAST(tf.tf AS DOUBLE) + {K1 * (1 - B)!r}
-              + {K1 * B!r} / s.avgdl * CAST(dl.doclen AS DOUBLE))
-         ) AS score
-  FROM q
-  JOIN dfreq d ON q.term = d.term
-  JOIN tf ON tf.term = q.term
-  JOIN dl ON dl.doc_id = tf.doc_id
-  CROSS JOIN stats s
-  GROUP BY q.qid, tf.doc_id
-)
-SELECT qid, doc_id, rank, round(score, 4) AS score
-FROM (
-  SELECT qid, doc_id,
-         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank,
-         score
-  FROM scored
-)
-WHERE rank <= {TOPK}
+        "doclen_histogram": f"""
+WITH {_TOK_CTE}
+SELECT CAST(floor(doclen / 10) * 10 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM dl GROUP BY 1
 """,
+        "top_bigrams": """
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+),
+tokpos AS (
+  SELECT doc_id,
+         unnest(str_split(text, ' ')) AS term,
+         generate_subscripts(str_split(text, ' '), 1) AS pos
+  FROM docs
+),
+tok AS (SELECT * FROM tokpos WHERE term <> ''),
+bg AS (
+  SELECT doc_id, term || ' ' || lead(term, 1) OVER w AS bigram
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+)
+SELECT bigram, CAST(count(*) AS BIGINT) AS cf
+FROM bg WHERE bigram IS NOT NULL
+GROUP BY bigram ORDER BY cf DESC, bigram LIMIT 20
+""",
+        "bm25_tuned_topk": _bm25_oracle(0.82, 0.68),
+        "bm25_topk": _bm25_oracle(K1, B),
     }
