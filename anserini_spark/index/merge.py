@@ -54,8 +54,10 @@ def merge_indexes(spark: SparkSession, slice_dirs: list[str], cfg: IndexConfig) 
     if not man.done("merge_docvec"):
         t0 = time.time()
         parts = []
+        has_pos = set()
         for si, d in enumerate(slice_dirs):
             dv = spark.read.parquet(os.path.join(d, "docvec.parquet"))
+            has_pos.add("positions" in dv.columns)
             seg = (F.lit(si << SLICE_SHIFT) + F.col("segment")).cast("int")
             # doc ids are re-namespaced to the merged segment id so the
             # (segment << 40 | row) invariant holds globally
@@ -63,15 +65,23 @@ def merge_indexes(spark: SparkSession, slice_dirs: list[str], cfg: IndexConfig) 
                 seg.cast("long") * F.lit(1 << 40)
                 + F.col("doc_id").bitwiseAND(F.lit((1 << 40) - 1))
             )
-            parts.append(
-                dv.select(
-                    doc.alias("doc_id"),
-                    "url",
-                    seg.alias("segment"),
-                    "doclen",
-                    "terms",
-                    "tfs",
-                )
+            cols = [
+                doc.alias("doc_id"),
+                F.col("url"),
+                seg.alias("segment"),
+                F.col("doclen"),
+                F.col("terms"),
+                F.col("tfs"),
+            ]
+            # carry positional postings (store_positions=True slices)
+            # so SDM keeps working on the merged index
+            if "positions" in dv.columns:
+                cols.append(F.col("positions"))
+            parts.append(dv.select(*cols))
+        if len(has_pos) > 1:
+            raise ValueError(
+                "cannot merge a mix of positional and non-positional "
+                "slices; rebuild with a uniform store_positions setting"
             )
         merged = parts[0]
         for p in parts[1:]:

@@ -61,7 +61,11 @@ def search_boolean(
         # encode as an impossible requirement
         if len(set(a["must"])) != n_must or len(set(a["filter"])) != n_filter:
             n_must = 10**6
-        must_counts.append((qid, n_must, n_filter))
+        # Lucene BooleanQuery: SHOULD clauses are required (min 1) only
+        # when the query has no MUST/FILTER clause; with MUST/FILTER
+        # present, a doc matching only filters matches with score 0
+        req_should = 1 if (n_must == 0 and n_filter == 0) else 0
+        must_counts.append((qid, n_must, n_filter, req_should))
         for c in CLAUSES:
             scored = c in ("should", "must")
             for t in set(a[c]):
@@ -78,7 +82,7 @@ def search_boolean(
         rows, "qid int, term string, clause string, weight float"
     )
     req = spark.createDataFrame(
-        must_counts, "qid int, n_must int, n_filter int"
+        must_counts, "qid int, n_must int, n_filter int, req_should int"
     )
     postings = index.docvec.select(
         "doc_id", "doclen", F.explode(F.arrays_zip("terms", "tfs")).alias("e")
@@ -113,7 +117,7 @@ def search_boolean(
             (F.col("m") == F.col("n_must"))
             & (F.col("f") == F.col("n_filter"))
             & (F.col("mn") == 0)
-            & (F.col("score64") > 0)
+            & ((F.col("req_should") == 0) | (F.col("score64") > 0))
         )
         .withColumn("score", F.col("score64").cast("float"))
     )

@@ -121,7 +121,10 @@ class LocalSearcher:
             cand = np.unique(np.concatenate(touched))
             scores = acc[cand].astype(np.float32)
             if len(cand) > k:
-                top = np.argpartition(-scores, k - 1)[:k]
+                # stable tie-break (doc_id asc == url order within a
+                # segment) so the per-segment cut matches the global
+                # (score desc, url asc) merge order
+                top = np.lexsort((cand, -scores))[:k]
                 cand, scores = cand[top], scores[top]
             cand_scores.append((cand + base, scores))
         if not cand_scores:

@@ -7,9 +7,14 @@ default mu=1000, ``LMJelinekMercerSimilarity(lambda)`` default 0.1,
 Per-matched-term contributions:
 
     p(t|C)   = cf_t / sumTotalTermFreq
-    QLD_t    = log(1 + tf / (mu * p(t|C))) + log(mu / (dl + mu))
-    QLJM_t   = log(1 + ((1 - lambda) * tf / dl) / (lambda * p(t|C)))
-    doc      = max(0, sum_t score_t)     (non-negative clamp)
+    QLD_t    = max(0, log(1 + tf / (mu * p(t|C))) + log(mu / (dl + mu)))
+    QLJM_t   = max(0, log(1 + ((1-lambda) * tf / dl) / (lambda * p(t|C))))
+    doc      = sum_t score_t
+
+The clamp is PER TERM, matching Lucene's ``LMSimilarity.score``
+(``return score > 0.0d ? score : 0.0d`` applied to each term's
+score before the disjunction sums them) — a doc mixing positive and
+negative term contributions keeps its positive parts.
 
 Declarative DataFrame implementations (float64 — LM parity target is
 formula-level, not Lucene-float32-bit-level; the float32 path is the
@@ -86,14 +91,13 @@ def _lm_search(index: InvertedIndex, queries: Dict[int, str], contrib_fn,
     )
     tf = F.col("tf").cast("double")
     dl = F.col("doclen").cast("double")
-    contrib = F.col("boost") * contrib_fn(tf, dl)
+    # per-term clamp at 0 (Lucene LMSimilarity.score), then sum
+    contrib = F.greatest(F.lit(0.0), F.col("boost") * contrib_fn(tf, dl))
     hits = (
         postings.join(F.broadcast(qterms), "term")
         .groupBy("qid", "doc_id")
-        .agg(F.sum(contrib).alias("raw"))
-        .withColumn("score", F.greatest(F.lit(0.0), F.col("raw")))
+        .agg(F.sum(contrib).alias("score"))
         .filter(F.col("score") > 0)
-        .drop("raw")
     )
     docmap = index.docmap.select("doc_id", "url")
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("url"))

@@ -5,12 +5,15 @@ Semantics per the reference (SURVEY.md §2.4/§2.11):
 
 1. First-pass BM25 retrieval; take the top ``fb_docs`` documents.
 2. Estimate the relevance model from their term vectors
-   (`Rm3Reranker.java:127-172`): each feedback doc contributes
-   ``(tf_term / |d|) * score(d)``; term hygiene keeps ``[a-z0-9]+``
-   of length 2-20 with collection df-ratio < 10% (web filter,
-   `Rm3Reranker.java:185-230`).
-3. Prune to the top ``fb_terms`` terms, L1-normalize
-   (`util/FeatureVector.java:43-74`).
+   (`Rm3Reranker.java:127-172`): each feedback doc's vector is first
+   hygiene-filtered (``[a-z0-9]+`` of length 2-20 with collection
+   df-ratio <= 10%, `Rm3Reranker.java:185-230`), then pruned to its
+   own top ``fb_terms`` entries (``docVector.pruneToSize(fbTerms)``,
+   `Rm3Reranker.java:138-140`); the doc contributes
+   ``(tf_term / L1(pruned vector)) * score(d)`` — docs whose pruned
+   L1 norm is <= 0.001 are skipped (`Rm3Reranker.java:152-163`).
+3. Prune the summed model to the top ``fb_terms`` terms and
+   L1-normalize (`util/FeatureVector.java:43-74`).
 4. Interpolate with the L1-normalized original query vector:
    ``alpha * q + (1 - alpha) * rm`` (defaults fb_docs=10, fb_terms=10,
    alpha=0.5 — `SearchArgs.java` RM3 defaults).
@@ -86,17 +89,23 @@ def rm3_boosts(
         qvec: Dict[str, float] = defaultdict(float)
         for t in qtoks:
             qvec[t] += 1.0 / len(qtoks)
-        # relevance model
+        # relevance model: per-doc hygiene filter -> pruneToSize ->
+        # L1-of-pruned normalization (`Rm3Reranker.java:129-166`)
         rm: Dict[str, float] = defaultdict(float)
-        for score, tfs, doclen in fb.get(qid, []):
-            if doclen <= 0:
+        for score, tfs, _doclen in fb.get(qid, []):
+            filt = {
+                t: float(tf)
+                for t, tf in tfs.items()
+                if t in dfs and dfs[t] / n_docs <= max_df_ratio
+            }
+            pruned = dict(
+                sorted(filt.items(), key=lambda kv: (-kv[1], kv[0]))[:fb_terms]
+            )
+            norm = sum(pruned.values())
+            if norm <= 0.001:  # zero-length feedback doc guard
                 continue
-            for t, tf in tfs.items():
-                if t not in dfs:
-                    continue
-                if dfs[t] / n_docs > max_df_ratio:
-                    continue
-                rm[t] += (tf / doclen) * score
+            for t, tf in pruned.items():
+                rm[t] += (tf / norm) * score
         top = sorted(rm.items(), key=lambda kv: (-kv[1], kv[0]))[:fb_terms]
         norm = sum(v for _, v in top)
         interpolated: Dict[str, float] = defaultdict(float)

@@ -347,7 +347,12 @@ def _segment_score_fn(
                     terms, wmap, meta, get_decoded, decode_subset, acc, k
                 )
             if len(cand) > k:
-                top = np.argpartition(-scores, k - 1)[:k]
+                # stable tie-break: doc_id asc within equal scores (==
+                # url order inside a segment — BREAK_SCORE_TIES_BY_DOCID,
+                # `SearchCollection.java:115-116`), so docs tied at the
+                # kth score survive deterministically and match the
+                # global merge's (score desc, url asc) order
+                top = np.lexsort((cand, -scores))[:k]
                 cand, scores = cand[top], scores[top]
             out_qid.append(np.full(len(cand), qid, dtype=np.int64))
             out_doc.append(cand + base)

@@ -19,6 +19,10 @@ QUERIES = {
     3: {"should": ["scan"], "must": [], "must_not": [], "filter": ["filter"]},
     4: {"should": ["spark"], "must": ["zzz-nonexistent"], "must_not": [],
         "filter": []},
+    # filter-only: matches with score 0 (Lucene BooleanQuery semantics)
+    5: {"should": [], "must": [], "must_not": [], "filter": ["merge"]},
+    # filter + must_not, no scoring clause
+    6: {"should": [], "must": [], "must_not": ["spark"], "filter": ["scan"]},
 }
 
 
@@ -57,8 +61,12 @@ def _brute(docs, queries, k):
                     w = np.float32(idf(df[t], n))
                     s += float(np.float32(
                         w * np.float32(f) / (np.float32(f) + c1 + c2 * np.float32(dl[url]))))
-            if s > 0:
-                hits.append((url, np.float32(s)))
+            # SHOULD is required (min 1 match) only when the query has
+            # no MUST/FILTER clause; otherwise zero-score matches stay
+            req_should = not a["must"] and not a["filter"]
+            if req_should and s <= 0:
+                continue
+            hits.append((url, np.float32(s)))
         hits.sort(key=lambda x: (-x[1], x[0]))
         out[qid] = [(u, r + 1) for r, (u, _) in enumerate(hits[:k])]
     return out

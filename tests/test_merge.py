@@ -51,3 +51,28 @@ def test_sliced_build_plus_merge_equals_single(spark, tiny_index, tmp_path):
         search_kernel(InvertedIndex(spark, tiny_index), QUERIES, BM25Params(k=15))
     )
     assert merged_run == single_run
+
+
+def test_merge_preserves_positions_for_sdm(spark, tmp_path):
+    """Two positional slices merged -> SDM run identical to the
+    single positional build (ADVICE: merge must not drop positions)."""
+    from anserini_spark.search.sdm import search_sdm
+
+    corpus = web_corpus(spark, "/root/testdata/sf0.001")
+    s0 = corpus.filter(F.abs(F.xxhash64("url")) % 2 == 0)
+    s1 = corpus.filter(F.abs(F.xxhash64("url")) % 2 == 1)
+    d0, d1, dm, ds = (str(tmp_path / n) for n in ("p0", "p1", "pm", "psingle"))
+    for df, d in ((s0, d0), (s1, d1), (corpus, ds)):
+        build_index(spark, df, IndexConfig(out_dir=d, doc_partitions=2,
+                                           block_partitions=3,
+                                           store_positions=True))
+    merge_indexes(spark, [d0, d1], IndexConfig(out_dir=dm, doc_partitions=2,
+                                               block_partitions=4,
+                                               store_positions=True))
+    dv = spark.read.parquet(f"{dm}/docvec.parquet")
+    assert "positions" in dv.columns
+
+    q = {1: "spark merge join", 2: "customer value"}
+    merged_run = _rows(search_sdm(InvertedIndex(spark, dm), q, BM25Params(k=15)))
+    single_run = _rows(search_sdm(InvertedIndex(spark, ds), q, BM25Params(k=15)))
+    assert merged_run == single_run

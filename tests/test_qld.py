@@ -30,9 +30,9 @@ def _brute(docs, queries, k=20):
                 if not f or t not in cf:
                     continue
                 p_c = cf[t] / sum_tf
-                s += boost * (math.log(1 + f / (MU * p_c))
-                              + math.log(MU / (dl[url] + MU)))
-            s = max(0.0, s)
+                # per-term clamp at 0 (Lucene LMSimilarity.score)
+                s += max(0.0, boost * (math.log(1 + f / (MU * p_c))
+                                       + math.log(MU / (dl[url] + MU))))
             if s > 0:
                 hits.append((url, s))
         hits.sort(key=lambda x: (-x[1], x[0]))
@@ -72,9 +72,9 @@ def _brute_jm(docs, queries, lam=0.1, k=20):
                 if not f or t not in cf:
                     continue
                 p_c = cf[t] / sum_tf
-                s += boost * math.log(
+                s += max(0.0, boost * math.log(
                     1 + ((1 - lam) * f / dl[url]) / (lam * p_c)
-                )
+                ))
             if s > 0:
                 hits.append((url, s))
         hits.sort(key=lambda x: (-x[1], x[0]))

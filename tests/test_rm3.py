@@ -35,12 +35,22 @@ def test_rm3_model_matches_independent_recompute(spark, tiny_index):
         rm = defaultdict(float)
         for url, score in top[qid]:
             tfs, dl = docvec[url]
+            filt = {}
             for t, tf in tfs.items():
                 if not (2 <= len(t) <= 20) or not t.isalnum():
                     continue
                 if t not in dict_rows or dict_rows[t] / n_docs > 0.1:
                     continue
-                rm[t] += tf / dl * score
+                filt[t] = float(tf)
+            # per-doc pruneToSize(fbTerms) + L1-of-pruned normalization
+            pruned = dict(
+                sorted(filt.items(), key=lambda kv: (-kv[1], kv[0]))[:8]
+            )
+            norm = sum(pruned.values())
+            if norm <= 0.001:
+                continue
+            for t, tf in pruned.items():
+                rm[t] += tf / norm * score
         sel = sorted(rm.items(), key=lambda kv: (-kv[1], kv[0]))[:8]
         norm = sum(v for _, v in sel)
         want = defaultdict(float)
