@@ -28,6 +28,12 @@ class BM25Params:
     k1: float = 0.9
     b: float = 0.4
     k: int = 1000  # hits (SearchArgs.java:85-86)
+    # lossy=True reproduces the reference's DEFAULT ``-bm25`` runs:
+    # doclen is quantized through Lucene's SmallFloat byte4 roundtrip
+    # (the 1-byte norm of BM25Similarity; see
+    # `util/ExtractDocumentLengths.java:85-93`). lossy=False is the
+    # ``-bm25accurate`` exact-norm path (AccurateBM25Similarity).
+    lossy: bool = False
 
 
 def idf(df: int, doc_count: int) -> float:
@@ -51,14 +57,23 @@ class BM25Scorer:
     def weight(self, df: int) -> np.float32:
         return np.float32(idf(df, self.doc_count))
 
+    def _dl(self, dls: np.ndarray) -> np.ndarray:
+        if self.params.lossy:
+            from .smallfloat import quantize_length
+
+            return quantize_length(dls).astype(np.float32)
+        return np.asarray(dls).astype(np.float32)
+
     def score(self, weight: np.float32, tfs: np.ndarray, dls: np.ndarray) -> np.ndarray:
         tf = tfs.astype(np.float32)
-        dl = dls.astype(np.float32)
+        dl = self._dl(dls)
         return weight * tf / (tf + self.cache1 + self.cache2 * dl)
 
     def max_block_score(self, weight: np.float32, max_tf, min_dl) -> np.ndarray:
         """Upper bound of any posting in a block: score is increasing in
-        tf and decreasing in dl, so (max_tf, min_dl) bounds it."""
+        tf and decreasing in dl, so (max_tf, min_dl) bounds it. The
+        lossy quantization is monotone, so quantize(min_dl) ==
+        min(quantize(dl)) and the bound stays valid."""
         tf = np.asarray(max_tf, dtype=np.float32)
-        dl = np.asarray(min_dl, dtype=np.float32)
+        dl = self._dl(np.asarray(min_dl))
         return weight * tf / (tf + self.cache1 + self.cache2 * dl)

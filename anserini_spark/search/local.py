@@ -31,14 +31,16 @@ from .bm25 import BM25Params, idf
 
 
 class LocalSearcher:
-    def __init__(self, index_dir: str, k1: float = 0.9, b: float = 0.4):
+    def __init__(self, index_dir: str, k1: float = 0.9, b: float = 0.4,
+                 lossy: bool = False):
         self.dir = index_dir
+        self._lossy = lossy
         with open(os.path.join(index_dir, "stats.json")) as f:
             self.stats = json.load(f)
         with open(os.path.join(index_dir, "manifest.json")) as f:
             man = json.load(f)
         self.analyzer = man["docvec"]["lineage"]["analyzer"]
-        self.params = BM25Params(k1=k1, b=b)
+        self.params = BM25Params(k1=k1, b=b, lossy=lossy)
         self.seg_counts = {int(s): int(c)
                            for s, c in self.stats["segments"].items()}
         self._blocks = ds.dataset(os.path.join(index_dir, "blocks.parquet"),
@@ -49,7 +51,8 @@ class LocalSearcher:
                                   format="parquet")
 
     def set_bm25(self, k1: float, b: float) -> None:
-        self.params = BM25Params(k1=k1, b=b, k=self.params.k)
+        self.params = BM25Params(k1=k1, b=b, k=self.params.k,
+                                 lossy=self._lossy)
 
     def _analyze(self, text: str) -> List[str]:
         if self.analyzer == "ws":
@@ -113,7 +116,12 @@ class LocalSearcher:
                 )
                 idx = (docs - base).astype(np.int64)
                 tf32 = tfs.astype(np.float32)
-                dl32 = dls.astype(np.float32)
+                if p.lossy:
+                    from .smallfloat import quantize_length
+
+                    dl32 = quantize_length(dls).astype(np.float32)
+                else:
+                    dl32 = dls.astype(np.float32)
                 contrib = (wmap[t] * (tf32 / (tf32 + cache1 + cache2 * dl32))
                            ).astype(np.float32)
                 acc[idx] += contrib.astype(np.float64)

@@ -57,7 +57,12 @@ def oracle_topk(
                 f = tf[url].get(t)
                 if f:
                     tf32 = np.float32(f)
-                    dl32 = np.float32(doclen[url])
+                    dl = doclen[url]
+                    if params.lossy:
+                        from .smallfloat import byte4_to_int, int_to_byte4
+
+                        dl = byte4_to_int(int_to_byte4(dl))
+                    dl32 = np.float32(dl)
                     contrib = np.float32(w * tf32 / (tf32 + c1 + c2 * dl32))
                     scores[url] += float(contrib)
         hits = [(url, np.float32(s)) for url, s in scores.items() if s > 0]

@@ -223,7 +223,12 @@ def search_dataframe(
         "doclen",
     )
     tf = F.col("tf").cast("float")
-    dl = F.col("doclen").cast("float")
+    if params.lossy:
+        from .smallfloat import quantize_expr
+
+        dl = quantize_expr(F.col("doclen")).cast("float")
+    else:
+        dl = F.col("doclen").cast("float")
     contrib = (
         F.col("weight")
         * tf
@@ -248,13 +253,23 @@ def search_dataframe(
 
 def _segment_score_fn(
     weights: Dict[int, Dict[str, np.float32]],
-    scorer_consts: Tuple[float, float],
+    scorer_consts: Tuple[float, float, bool],
     seg_counts: Dict[int, int],
     k: int,
     prune: bool,
 ):
     cache1 = np.float32(scorer_consts[0])
     cache2 = np.float32(scorer_consts[1])
+    lossy = bool(scorer_consts[2]) if len(scorer_consts) > 2 else False
+
+    def _dl32(dls: np.ndarray) -> np.ndarray:
+        # SmallFloat byte4 roundtrip for default-BM25 parity mode;
+        # monotone, so block min_dl bounds stay valid after quantizing
+        if lossy:
+            from .smallfloat import quantize_length
+
+            return quantize_length(dls).astype(np.float32)
+        return dls.astype(np.float32)
 
     def _empty() -> pd.DataFrame:
         return pd.DataFrame(
@@ -279,7 +294,7 @@ def _segment_score_fn(
         meta: Dict[str, Tuple[int, np.ndarray]] = {}
         for t, g in groups.items():
             mtf = g["max_tf"].to_numpy().astype(np.float32)
-            mdl = g["min_dl"].to_numpy().astype(np.float32)
+            mdl = _dl32(g["min_dl"].to_numpy())
             meta[t] = (int(g["n"].sum()), mtf / (mtf + cache1 + cache2 * mdl))
 
         # full-run decode cache, shared across queries
@@ -294,7 +309,7 @@ def _segment_score_fn(
                     g["last_doc"].to_numpy(),
                 )
                 tf32 = tfs.astype(np.float32)
-                dl32 = dls.astype(np.float32)
+                dl32 = _dl32(dls)
                 decoded[t] = (
                     (docs - base).astype(np.int64),
                     tf32 / (tf32 + cache1 + cache2 * dl32),
@@ -320,7 +335,7 @@ def _segment_score_fn(
                 sub["last_doc"].to_numpy(),
             )
             tf32 = tfs.astype(np.float32)
-            dl32 = dls.astype(np.float32)
+            dl32 = _dl32(dls)
             return ((docs - base).astype(np.int64),
                     tf32 / (tf32 + cache1 + cache2 * dl32))
 
@@ -453,7 +468,7 @@ def search_kernel(
     blocks = index.blocks.filter(F.col("term").isin(all_terms))
     fn = _segment_score_fn(
         {qid: dict(wmap) for qid, wmap in weights.items()},
-        (float(scorer.cache1), float(scorer.cache2)),
+        (float(scorer.cache1), float(scorer.cache2), params.lossy),
         seg_counts,
         params.k,
         prune,
@@ -472,14 +487,18 @@ class SimpleSearcher:
     (`search/SimpleSearcher.java:80-478`; `SearchMsmarco.java:84-175`)."""
 
     def __init__(self, spark: SparkSession, index_dir: str,
-                 k1: float = 0.9, b: float = 0.4, engine: str = "kernel"):
+                 k1: float = 0.9, b: float = 0.4, engine: str = "kernel",
+                 lossy: bool = False):
         self.index = InvertedIndex(spark, index_dir)
-        self.params = BM25Params(k1=k1, b=b)
+        # lossy=True is the reference's default-BM25 parity mode
+        # (SmallFloat byte4 doclen quantization); False == -bm25accurate
+        self.params = BM25Params(k1=k1, b=b, lossy=lossy)
         self.engine = engine
         self._rm3: Optional[Tuple[int, int, float]] = None
 
     def set_bm25(self, k1: float, b: float) -> None:
-        self.params = BM25Params(k1=k1, b=b, k=self.params.k)
+        self.params = BM25Params(k1=k1, b=b, k=self.params.k,
+                                 lossy=self.params.lossy)
 
     def set_rm3(self, fb_docs: int = 10, fb_terms: int = 10,
                 alpha: float = 0.5) -> None:
@@ -490,7 +509,8 @@ class SimpleSearcher:
         self._rm3 = None
 
     def batch_search(self, queries: Dict[int, str], k: int = 1000) -> DataFrame:
-        params = BM25Params(k1=self.params.k1, b=self.params.b, k=k)
+        params = BM25Params(k1=self.params.k1, b=self.params.b, k=k,
+                            lossy=self.params.lossy)
         if self._rm3 is not None:
             from .rm3 import search_rm3
 
