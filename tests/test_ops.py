@@ -106,3 +106,41 @@ def test_exact_dedup_flags_duplicates(spark):
     for r in rows:
         if r["doc_id"] == r["canonical"]:
             assert not r["is_dup"]
+
+
+def test_ann_lsh_realistic_dim_256(spark):
+    """LSH path at a realistic embedding dim: plan must stay O(1) in
+    dim (matmul UDF, not per-component expressions) and recall vs
+    brute force must be reasonable on a clustered synthetic set."""
+    import numpy as np
+    from anserini_spark.ops.similarity import ann_lsh_topk
+
+    rng = np.random.default_rng(7)
+    dim, n = 256, 400
+    centers = rng.standard_normal((4, dim))
+    rows = []
+    for i in range(n):
+        c = centers[i % 4]
+        v = c + 0.3 * rng.standard_normal(dim)
+        rows.append((i, [float(x) for x in v], i % 4))
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    ann = ann_lsh_topk(spark, "", emb=e).collect()
+    assert len(ann) > 0
+    # exact brute-force cosine in numpy
+    m = np.array([r[1] for r in rows])
+    q = m[0]
+    cos = (m[1:] @ q) / (np.linalg.norm(m[1:], axis=1) * np.linalg.norm(q))
+    brute_top = set((np.argsort(-cos)[:10] + 1).tolist())
+    got = {r["vec_id"] for r in ann}
+    assert len(got & brute_top) >= 5, (got, brute_top)  # recall@10 >= 0.5
+
+
+def test_topk_plan_is_take_ordered(spark):
+    """The similarity top-k must compile to TakeOrderedAndProject
+    (distributed per-partition heaps), not a single-partition window."""
+    from anserini_spark.ops.similarity import cosine_topk
+
+    plan = cosine_topk(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
