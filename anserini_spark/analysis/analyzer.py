@@ -36,8 +36,15 @@ from typing import Iterable, List
 
 import pandas as pd
 
+from .krovetz import kstem
 from .porter import porter_stem
 from .stopwords import ENGLISH_STOP_WORDS
+
+
+def stem_mode(analyzer: str) -> str:
+    """Map an index analyzer name -> the ``stem`` argument of
+    ``analyze`` ("porter" | "krovetz" | "none")."""
+    return analyzer if analyzer in ("porter", "krovetz") else "none"
 
 # UAX#29-ish word regex for Latin web text. \w in Python3 re is
 # unicode-aware (letters, digits, underscore).
@@ -78,7 +85,11 @@ def _process_token(tok: str, stem: str, keep_stopwords: bool):
         return None
     if not keep_stopwords and t in ENGLISH_STOP_WORDS:
         return None
-    return porter_stem(t) if stem == "porter" else t
+    if stem == "porter":
+        return porter_stem(t)
+    if stem == "krovetz":
+        return kstem(t)
+    return t
 
 
 def analyze(text: str, stem: str = "porter", keep_stopwords: bool = False) -> List[str]:

@@ -59,7 +59,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..analysis.analyzer import analyze
+from ..analysis.analyzer import analyze, stem_mode
 from .blocks import RANGE_SHIFT, encode_blocks
 
 SEG_SHIFT = 40  # doc_id = (segment << SEG_SHIFT) | row_in_segment
@@ -106,7 +106,7 @@ BLOCKS_SCHEMA = T.StructType(
 @dataclass
 class IndexConfig:
     out_dir: str
-    analyzer: str = "porter"          # "porter" | "none" | "ws"
+    analyzer: str = "porter"          # "porter" | "krovetz" | "none" | "ws"
     keep_stopwords: bool = False
     lang: Optional[str] = "en"        # None = keep all languages
     doc_partitions: int = 16          # P: segments (Lucene-segment analogue)
@@ -124,7 +124,7 @@ class IndexConfig:
 def _analyze_for(cfg: IndexConfig):
     if cfg.analyzer == "ws":
         return lambda t: [w for w in (t or "").split() if w]
-    stem = "porter" if cfg.analyzer == "porter" else "none"
+    stem = stem_mode(cfg.analyzer)
     keep = cfg.keep_stopwords
     return lambda t: analyze(t or "", stem=stem, keep_stopwords=keep)
 
@@ -159,7 +159,7 @@ def _analyze_kernel(cfg: IndexConfig):
     if store_pos:
         from ..analysis.analyzer import analyze_with_positions
 
-        stem = "porter" if cfg.analyzer == "porter" else "none"
+        stem = stem_mode(cfg.analyzer)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:

@@ -24,7 +24,7 @@ import numpy as np
 import pyarrow.dataset as ds
 import pyarrow.parquet as pq
 
-from ..analysis.analyzer import analyze
+from ..analysis.analyzer import analyze, stem_mode
 from ..index.blocks import decode_block_run
 from ..index.build import SEG_SHIFT
 from .bm25 import BM25Params, idf
@@ -57,8 +57,7 @@ class LocalSearcher:
     def _analyze(self, text: str) -> List[str]:
         if self.analyzer == "ws":
             return [w for w in (text or "").split() if w]
-        stem = "porter" if self.analyzer == "porter" else "none"
-        return analyze(text or "", stem=stem)
+        return analyze(text or "", stem=stem_mode(self.analyzer))
 
     def _dfs(self, terms: List[str]) -> Dict[str, int]:
         if not terms:

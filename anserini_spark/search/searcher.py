@@ -40,7 +40,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..analysis.analyzer import analyze
+from ..analysis.analyzer import analyze, stem_mode
 from ..index.blocks import decode_block_run
 from ..index.build import SEG_SHIFT
 from .bm25 import BM25Params, BM25Scorer
@@ -116,8 +116,7 @@ class InvertedIndex:
     def analyze_query(self, text: str) -> List[str]:
         if self.analyzer == "ws":
             return [w for w in (text or "").split() if w]
-        stem = "porter" if self.analyzer == "porter" else "none"
-        return analyze(text or "", stem=stem)
+        return analyze(text or "", stem=stem_mode(self.analyzer))
 
     def term_dfs(self, terms: Iterable[str]) -> Dict[str, int]:
         terms = sorted(set(terms))

@@ -1,5 +1,6 @@
 """Additional similarities from the reference's grid
-(`SearchCollection.java:308-327`): DFR InL2, axiomatic F2EXP / F2LOG.
+(`SearchCollection.java:308-327`): DFR InL2, IB SPL, axiomatic
+F2EXP / F2LOG.
 
 Formulas implemented from the published models (documented here —
 these target formula-level parity, like QLD/QLJM; the bit-exact
@@ -11,6 +12,13 @@ float32 path remains BM25):
       tfn  = tf * log2(1 + c * avgdl / dl)          (H2)
       score_t = (1 / (tfn + 1))                      (AfterEffect L)
               * tfn * log2((N + 1) / (df + 0.5))     (Basic model In)
+
+* **IB SPL** (`IBSimilarity(DistributionSPL, LambdaDF,
+  NormalizationH2(c))`, `SearchCollection.java:314-319`, c = 1):
+
+      tfn     = tf * log2(1 + c * avgdl / dl)            (H2)
+      lambda  = (df + 1) / (N + 1)                        (LambdaDF)
+      score_t = -log2((lambda^(tfn/(tfn+1)) - lambda) / (1 - lambda))
 
 * **F2EXP / F2LOG** (axiomatic, s = 0.5; Fang & Zhai's axiomatic
   retrieval functions as shipped in Lucene's AxiomaticF2EXP with
@@ -96,6 +104,19 @@ def search_inl2(index: InvertedIndex, queries: Dict[int, str],
             F.log((F.lit(n + 1.0)) / (df + F.lit(0.5))) / F.lit(LOG2)
         )
         return boost * basic / (tfn + F.lit(1.0))
+
+    return _generic_search(index, queries, contrib, k)
+
+
+def search_spl(index: InvertedIndex, queries: Dict[int, str],
+               c: float = 1.0, k: int = 1000) -> DataFrame:
+    """Information-based SPL (smoothed power law) — the similarity
+    behind the reference's ``-spl`` flag."""
+    def contrib(tf, dl, df, boost, n, avgdl):
+        tfn = tf * F.log(F.lit(1.0) + F.lit(c * avgdl) / dl) / F.lit(LOG2)
+        lam = (df + F.lit(1.0)) / F.lit(n + 1.0)
+        frac = (F.pow(lam, tfn / (tfn + F.lit(1.0))) - lam) / (F.lit(1.0) - lam)
+        return boost * (-F.log(frac) / F.lit(LOG2))
 
     return _generic_search(index, queries, contrib, k)
 

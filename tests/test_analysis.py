@@ -80,3 +80,66 @@ def test_porter_paper_examples():
 def test_short_words_unstemmed():
     for w in ["a", "is", "be", "ox"]:
         assert porter_stem(w) == w
+
+
+# ---- Krovetz (KStem) — reference goldens -----------------------------
+# `EnglishStemmingAnalyzerTest.java:34-36`: krovetz rows for
+# "City buses are running on schedule."
+
+def test_krovetz_reference_goldens():
+    from anserini_spark.analysis.analyzer import analyze
+
+    inp = "City buses are running on schedule."
+    assert analyze(inp, stem="krovetz") == [
+        "city", "bus", "running", "schedule"]
+    assert analyze(inp, stem="krovetz", keep_stopwords=True) == [
+        "city", "bus", "are", "running", "on", "schedule"]
+
+
+def test_kstem_dictionary_gating():
+    from anserini_spark.analysis.krovetz import kstem
+
+    # plural defaults
+    assert kstem("dogs") == "dog"
+    assert kstem("cities") == "city"
+    assert kstem("churches") == "church"
+    # dictionary words pass through (return-a-real-word contract)
+    assert kstem("running") == "running"
+    assert kstem("ss") == "ss"
+    assert kstem("glass") == "glass"
+    # dictionary-gated -ed / -ing
+    assert kstem("played") == "play"
+    assert kstem("dropped") == "drop"
+    assert kstem("making") == "make"
+    assert kstem("meetings") == "meeting"  # -s first; meeting is a headword
+    # unknown derivations stay unchanged
+    assert kstem("zorbed") == "zorbed"
+    # irregulars
+    assert kstem("children") == "child"
+    assert kstem("wives") == "wife"
+
+
+def test_krovetz_index_roundtrip(spark, tmp_path):
+    """An index built with analyzer='krovetz' searches with the same
+    query-side analysis (unstemmed dictionary forms match)."""
+    from anserini_spark.index.build import IndexConfig, build_index
+    from anserini_spark.search.searcher import InvertedIndex, search_kernel
+    from anserini_spark.search.bm25 import BM25Params
+
+    rows = [
+        ("https://k/1", "city buses are running on schedule today", "en"),
+        ("https://k/2", "the children played in the gardens", "en"),
+        ("https://k/3", "nothing relevant here at all friends", "en"),
+    ]
+    corpus = spark.createDataFrame(rows, "url string, text string, lang string")
+    out = str(tmp_path / "kidx")
+    build_index(spark, corpus, IndexConfig(out_dir=out, analyzer="krovetz",
+                                           doc_partitions=1,
+                                           block_partitions=1))
+    idx = InvertedIndex(spark, out)
+    assert idx.analyze_query("buses running") == ["bus", "running"]
+    hits = search_kernel(idx, {1: "bus schedule", 2: "child play"},
+                         BM25Params(k=5)).collect()
+    got = {(r["qid"], r["docid"]) for r in hits}
+    assert (1, "https://k/1") in got
+    assert (2, "https://k/2") in got

@@ -83,3 +83,18 @@ def test_f2log(spark, tiny_index, tiny_docs, stats):
     idx = InvertedIndex(spark, tiny_index)
     assert _rank(search_f2log(idx, QUERIES, k=20)) == _brute(
         tiny_docs, stats, contrib)
+
+
+def test_spl(spark, tiny_index, tiny_docs, stats):
+    from anserini_spark.search.similarities import search_spl
+
+    c = 1.0
+
+    def contrib(f, d, dfv, n, avgdl):
+        tfn = f * math.log2(1 + c * avgdl / d)
+        lam = (dfv + 1.0) / (n + 1.0)
+        return -math.log2((lam ** (tfn / (tfn + 1)) - lam) / (1 - lam))
+
+    idx = InvertedIndex(spark, tiny_index)
+    assert _rank(search_spl(idx, QUERIES, k=20)) == _brute(
+        tiny_docs, stats, contrib)
