@@ -1,0 +1,165 @@
+"""Pluggable-similarity retrieval through the block-index kernel.
+
+The reference scores every similarity through the same Lucene
+index/search machinery — the Similarity is a plugin
+(`SearchCollection.java:281-334`). This module is the Spark analogue:
+QLD, QLJM, DFR InL2, IB SPL, and axiomatic F2EXP/F2LOG run through
+the SAME term-pruned ``blocks.parquet`` scan + per-segment Arrow
+kernel + MaxScore pruning as BM25, by supplying a per-term "shape"
+function ``shape_t(tf, dl) -> contribution`` (float64). The previous
+round's DataFrame implementations (full docvec explode per query —
+a full-corpus scan, `search/qld.py` / `search/similarities.py`) are
+kept as the ``engine="dataframe"`` oracle path; rank-identity between
+the two is pinned by tests.
+
+Validity of MaxScore here: every shape below is non-negative (QLD is
+clamped per term, Lucene ``LMSimilarity.score`` semantics),
+increasing in tf and non-increasing in dl, so ``shape(max_tf,
+min_dl)`` upper-bounds every posting in a block.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import Callable, Dict
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .searcher import InvertedIndex, _finalize, _segment_score_fn
+
+_LOG2 = np.log(2.0)
+
+
+def _shape_qld(df: int, cf: int, n: float, avgdl: float, sum_tf: float,
+               mu: float = 1000.0):
+    p_c = cf / sum_tf
+
+    def shape(tf, dl):
+        tf = tf.astype(np.float64)
+        dl = dl.astype(np.float64)
+        return np.maximum(
+            0.0, np.log1p(tf / (mu * p_c)) + np.log(mu / (dl + mu))
+        )
+
+    return shape
+
+
+def _shape_qljm(df: int, cf: int, n: float, avgdl: float, sum_tf: float,
+                lam: float = 0.1):
+    p_c = cf / sum_tf
+
+    def shape(tf, dl):
+        tf = tf.astype(np.float64)
+        dl = dl.astype(np.float64)
+        return np.maximum(
+            0.0, np.log1p(((1.0 - lam) * tf / dl) / (lam * p_c))
+        )
+
+    return shape
+
+
+def _shape_inl2(df: int, cf: int, n: float, avgdl: float, sum_tf: float,
+                c: float = 1.0):
+    basic = np.log((n + 1.0) / (df + 0.5)) / _LOG2
+
+    def shape(tf, dl):
+        tfn = tf.astype(np.float64) * np.log1p(c * avgdl / dl.astype(np.float64)) / _LOG2
+        return tfn * basic / (tfn + 1.0)
+
+    return shape
+
+
+def _shape_spl(df: int, cf: int, n: float, avgdl: float, sum_tf: float,
+               c: float = 1.0):
+    lam = (df + 1.0) / (n + 1.0)
+
+    def shape(tf, dl):
+        tfn = tf.astype(np.float64) * np.log1p(c * avgdl / dl.astype(np.float64)) / _LOG2
+        return -np.log((lam ** (tfn / (tfn + 1.0)) - lam) / (1.0 - lam)) / _LOG2
+
+    return shape
+
+
+def _shape_f2exp(df: int, cf: int, n: float, avgdl: float, sum_tf: float,
+                 s: float = 0.5, kexp: float = 0.35):
+    idf = ((n + 1.0) / df) ** kexp
+
+    def shape(tf, dl):
+        tf = tf.astype(np.float64)
+        return tf / (tf + s + s * dl.astype(np.float64) / avgdl) * idf
+
+    return shape
+
+
+def _shape_f2log(df: int, cf: int, n: float, avgdl: float, sum_tf: float,
+                 s: float = 0.5):
+    idf = np.log((n + 1.0) / df)
+
+    def shape(tf, dl):
+        tf = tf.astype(np.float64)
+        return tf / (tf + s + s * dl.astype(np.float64) / avgdl) * idf
+
+    return shape
+
+
+_BUILDERS: Dict[str, Callable] = {
+    "qld": _shape_qld,
+    "qljm": _shape_qljm,
+    "inl2": _shape_inl2,
+    "spl": _shape_spl,
+    "f2exp": _shape_f2exp,
+    "f2log": _shape_f2log,
+}
+
+
+def search_kernel_similarity(
+    index: InvertedIndex,
+    queries: Dict[int, str],
+    sim: str,
+    k: int = 1000,
+    prune: bool = True,
+    **params,
+) -> DataFrame:
+    """Retrieve with a named similarity through the block-index
+    kernel. Per-query term boosts are occurrence counts (bag of
+    words); per-term shapes carry the term statistics."""
+    builder = _BUILDERS[sim]
+    per_q = {qid: Counter(index.analyze_query(t))
+             for qid, t in queries.items()}
+    all_terms = sorted({t for c in per_q.values() for t in c})
+    empty = "qid int, docid string, rank int, score double"
+    if not all_terms:
+        return index.spark.createDataFrame([], empty)
+    stat_rows = (
+        index.dictionary.filter(F.col("term").isin(all_terms))
+        .select("term", "df", "cf")
+        .collect()
+    )
+    n = float(index.stats["doc_count"])
+    avgdl = float(index.stats["avgdl"])
+    sum_tf = float(index.stats["sum_tf"])
+    shape_fns = {
+        r["term"]: builder(int(r["df"]), int(r["cf"]), n, avgdl, sum_tf,
+                           **params)
+        for r in stat_rows
+    }
+    boosts = {
+        qid: {t: float(cnt) for t, cnt in c.items() if t in shape_fns}
+        for qid, c in per_q.items()
+    }
+    boosts = {qid: m for qid, m in boosts.items() if m}
+    if not boosts:
+        return index.spark.createDataFrame([], empty)
+    seg_counts = {int(s): int(c) for s, c in index.stats["segments"].items()}
+    blocks = index.blocks.filter(F.col("term").isin(sorted(shape_fns)))
+    fn = _segment_score_fn(boosts, (0.0, 0.0, False), seg_counts, k, prune,
+                           shape_fns=shape_fns)
+    hits = blocks.groupBy("segment").applyInPandas(
+        fn, schema="qid int, doc_id long, score double"
+    )
+    # parity with the DataFrame path: docs whose every term contribution
+    # clamps to zero do not match
+    hits = hits.filter(F.col("score") > 0)
+    return _finalize(index, hits, k)

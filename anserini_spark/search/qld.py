@@ -16,10 +16,12 @@ The clamp is PER TERM, matching Lucene's ``LMSimilarity.score``
 score before the disjunction sums them) — a doc mixing positive and
 negative term contributions keeps its positive parts.
 
-Declarative DataFrame implementations (float64 — LM parity target is
-formula-level, not Lucene-float32-bit-level; the float32 path is the
-BM25 engine). Duplicate query terms contribute once per occurrence
-(bag-of-words).
+Default engine is the block-index kernel (term-pruned scan +
+MaxScore, see `kernel_sim.py`); ``engine="dataframe"`` keeps the
+declarative full-docvec-explode plan as the rank-identity oracle
+(float64 both ways — LM parity target is formula-level, not
+Lucene-float32-bit-level; the float32 path is the BM25 engine).
+Duplicate query terms contribute once per occurrence (bag-of-words).
 """
 
 from __future__ import annotations
@@ -35,7 +37,12 @@ from .tieadjust import adjust_score_ties
 
 
 def search_qld(index: InvertedIndex, queries: Dict[int, str], mu: float = 1000.0,
-               k: int = 1000) -> DataFrame:
+               k: int = 1000, engine: str = "kernel") -> DataFrame:
+    if engine == "kernel":
+        from .kernel_sim import search_kernel_similarity
+
+        return search_kernel_similarity(index, queries, "qld", k=k, mu=mu)
+
     def contrib(tf, dl):
         return (
             F.log(F.lit(1.0) + tf / (F.lit(mu) * F.col("p_c")))
@@ -46,7 +53,13 @@ def search_qld(index: InvertedIndex, queries: Dict[int, str], mu: float = 1000.0
 
 
 def search_qljm(index: InvertedIndex, queries: Dict[int, str],
-                lam: float = 0.1, k: int = 1000) -> DataFrame:
+                lam: float = 0.1, k: int = 1000,
+                engine: str = "kernel") -> DataFrame:
+    if engine == "kernel":
+        from .kernel_sim import search_kernel_similarity
+
+        return search_kernel_similarity(index, queries, "qljm", k=k, lam=lam)
+
     def contrib(tf, dl):
         return F.log(
             F.lit(1.0)

@@ -256,10 +256,21 @@ def _segment_score_fn(
     seg_counts: Dict[int, int],
     k: int,
     prune: bool,
+    shape_fns: Optional[Dict[str, object]] = None,
 ):
+    """Per-segment scoring kernel. Default mode is float32 BM25
+    (cache1/cache2, optional lossy norms). When ``shape_fns`` is given
+    (term -> callable(tfs, dls) -> per-posting contribution, float64),
+    the kernel scores an arbitrary similarity through the SAME
+    term-pruned block scan + MaxScore machinery — the Spark analogue
+    of Lucene's pluggable Similarity (`SearchCollection.java:281-334`).
+    Shape functions must be non-negative, increasing in tf and
+    non-increasing in dl (all the reference's similarities are), so
+    shape(max_tf, min_dl) stays a valid block upper bound."""
     cache1 = np.float32(scorer_consts[0])
     cache2 = np.float32(scorer_consts[1])
     lossy = bool(scorer_consts[2]) if len(scorer_consts) > 2 else False
+    f32 = shape_fns is None
 
     def _dl32(dls: np.ndarray) -> np.ndarray:
         # SmallFloat byte4 roundtrip for default-BM25 parity mode;
@@ -270,12 +281,20 @@ def _segment_score_fn(
             return quantize_length(dls).astype(np.float32)
         return dls.astype(np.float32)
 
+    out_dtype = np.float32 if f32 else np.float64
+
+    def _part(t: str, tfs: np.ndarray, dls: np.ndarray) -> np.ndarray:
+        if f32:
+            tf32 = tfs.astype(np.float32)
+            return tf32 / (tf32 + cache1 + cache2 * _dl32(dls))
+        return shape_fns[t](np.asarray(tfs), np.asarray(dls))
+
     def _empty() -> pd.DataFrame:
         return pd.DataFrame(
             {
                 "qid": np.empty(0, dtype=np.int32),
                 "doc_id": np.empty(0, dtype=np.int64),
-                "score": np.empty(0, dtype=np.float32),
+                "score": np.empty(0, dtype=out_dtype),
             }
         )
 
@@ -292,9 +311,8 @@ def _segment_score_fn(
         # block-max score bound tf*/(tf* + c1 + c2*dl*) (SURVEY.md §4)
         meta: Dict[str, Tuple[int, np.ndarray]] = {}
         for t, g in groups.items():
-            mtf = g["max_tf"].to_numpy().astype(np.float32)
-            mdl = _dl32(g["min_dl"].to_numpy())
-            meta[t] = (int(g["n"].sum()), mtf / (mtf + cache1 + cache2 * mdl))
+            bound = _part(t, g["max_tf"].to_numpy(), g["min_dl"].to_numpy())
+            meta[t] = (int(g["n"].sum()), bound)
 
         # full-run decode cache, shared across queries
         decoded: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
@@ -307,11 +325,9 @@ def _segment_score_fn(
                     g["n"].to_numpy(), g["first_doc"].to_numpy(),
                     g["last_doc"].to_numpy(),
                 )
-                tf32 = tfs.astype(np.float32)
-                dl32 = _dl32(dls)
                 decoded[t] = (
                     (docs - base).astype(np.int64),
-                    tf32 / (tf32 + cache1 + cache2 * dl32),
+                    _part(t, tfs, dls),
                 )
             return decoded[t]
 
@@ -326,17 +342,14 @@ def _segment_score_fn(
             last = g["last_doc"].to_numpy() - base
             mask = (last >= lo) & (first <= hi)
             if not mask.any():
-                return (np.empty(0, dtype=np.int64), np.empty(0, np.float32))
+                return (np.empty(0, dtype=np.int64), np.empty(0, out_dtype))
             sub = g.iloc[np.nonzero(mask)[0]]
             docs, tfs, dls = decode_block_run(
                 list(sub["docs_bin"]), list(sub["tfs_bin"]), list(sub["dls_bin"]),
                 sub["n"].to_numpy(), sub["first_doc"].to_numpy(),
                 sub["last_doc"].to_numpy(),
             )
-            tf32 = tfs.astype(np.float32)
-            dl32 = _dl32(dls)
-            return ((docs - base).astype(np.int64),
-                    tf32 / (tf32 + cache1 + cache2 * dl32))
+            return ((docs - base).astype(np.int64), _part(t, tfs, dls))
 
         out_qid: List[np.ndarray] = []
         out_doc: List[np.ndarray] = []
@@ -350,15 +363,19 @@ def _segment_score_fn(
                 touched: List[np.ndarray] = []
                 for t in terms:
                     idx, part = get_decoded(t)
-                    contrib = (wmap[t] * part).astype(np.float32)
-                    acc[idx] += contrib.astype(np.float64)
+                    if f32:
+                        contrib = (wmap[t] * part).astype(np.float32)
+                        acc[idx] += contrib.astype(np.float64)
+                    else:
+                        acc[idx] += wmap[t] * part
                     touched.append(idx)
                 cand = np.unique(np.concatenate(touched))
-                scores = acc[cand].astype(np.float32)
+                scores = acc[cand].astype(out_dtype)
                 acc[cand] = 0.0
             else:
                 cand, scores = _maxscore_query(
-                    terms, wmap, meta, get_decoded, decode_subset, acc, k
+                    terms, wmap, meta, get_decoded, decode_subset, acc, k,
+                    f32=f32,
                 )
             if len(cand) > k:
                 # stable tie-break: doc_id asc within equal scores (==
@@ -384,7 +401,8 @@ def _segment_score_fn(
     return score_segment
 
 
-def _maxscore_query(terms, wmap, meta, get_decoded, decode_subset, acc, k):
+def _maxscore_query(terms, wmap, meta, get_decoded, decode_subset, acc, k,
+                    f32=True):
     """MaxScore evaluation of one query over one segment.
 
     Dense-accumulate terms in descending upper-bound order; once the
@@ -395,10 +413,16 @@ def _maxscore_query(terms, wmap, meta, get_decoded, decode_subset, acc, k):
     set, decoding only candidate-overlapping blocks (block-max skip).
     Final scores of emitted docs are exact; rank-identical to the
     unpruned path (pinned by tests)."""
-    ubs = {
-        t: float(np.float32(wmap[t]) * np.float32(m[1].max()))
-        for t, m in ((t, meta[t]) for t in terms)
-    }
+    if f32:
+        ubs = {
+            t: float(np.float32(wmap[t]) * np.float32(m[1].max()))
+            for t, m in ((t, meta[t]) for t in terms)
+        }
+    else:
+        ubs = {
+            t: float(wmap[t] * m[1].max())
+            for t, m in ((t, meta[t]) for t in terms)
+        }
     order = sorted(terms, key=lambda t: -ubs[t])
     suffix = np.concatenate(
         [np.cumsum([ubs[t] for t in order][::-1])[::-1][1:], [0.0]]
@@ -420,7 +444,10 @@ def _maxscore_query(terms, wmap, meta, get_decoded, decode_subset, acc, k):
                     switch = i
                     break
         idx, part = get_decoded(t)
-        acc[idx] += (np.float32(wmap[t]) * part).astype(np.float32).astype(np.float64)
+        if f32:
+            acc[idx] += (np.float32(wmap[t]) * part).astype(np.float32).astype(np.float64)
+        else:
+            acc[idx] += wmap[t] * part
         touched.append(idx)
     cand = np.unique(np.concatenate(touched)) if len(touched) > 1 else touched[0]
     if switch < len(order):
@@ -439,13 +466,17 @@ def _maxscore_query(terms, wmap, meta, get_decoded, decode_subset, acc, k):
                 pos_c = np.minimum(pos, d.size - 1)
                 hit = d[pos_c] == live
                 hpos = pos_c[hit]
-                acc[live[hit]] += (
-                    (np.float32(wmap[t]) * part[hpos]).astype(np.float32)
-                ).astype(np.float64)
-        scores = acc[live].astype(np.float32)
+                if f32:
+                    acc[live[hit]] += (
+                        (np.float32(wmap[t]) * part[hpos]).astype(np.float32)
+                    ).astype(np.float64)
+                else:
+                    acc[live[hit]] += wmap[t] * part[hpos]
+        out_dt = np.float32 if f32 else np.float64
+        scores = acc[live].astype(out_dt)
         acc[cand] = 0.0
         return live, scores
-    scores = acc[cand].astype(np.float32)
+    scores = acc[cand].astype(np.float32 if f32 else np.float64)
     acc[cand] = 0.0
     return cand, scores
 

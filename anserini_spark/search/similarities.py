@@ -97,7 +97,13 @@ def _generic_search(index: InvertedIndex, queries: Dict[int, str],
 
 
 def search_inl2(index: InvertedIndex, queries: Dict[int, str],
-                c: float = 1.0, k: int = 1000) -> DataFrame:
+                c: float = 1.0, k: int = 1000,
+                engine: str = "kernel") -> DataFrame:
+    if engine == "kernel":
+        from .kernel_sim import search_kernel_similarity
+
+        return search_kernel_similarity(index, queries, "inl2", k=k, c=c)
+
     def contrib(tf, dl, df, boost, n, avgdl):
         tfn = tf * F.log(F.lit(1.0) + F.lit(c * avgdl) / dl) / F.lit(LOG2)
         basic = tfn * (
@@ -109,9 +115,15 @@ def search_inl2(index: InvertedIndex, queries: Dict[int, str],
 
 
 def search_spl(index: InvertedIndex, queries: Dict[int, str],
-               c: float = 1.0, k: int = 1000) -> DataFrame:
+               c: float = 1.0, k: int = 1000,
+               engine: str = "kernel") -> DataFrame:
     """Information-based SPL (smoothed power law) — the similarity
     behind the reference's ``-spl`` flag."""
+    if engine == "kernel":
+        from .kernel_sim import search_kernel_similarity
+
+        return search_kernel_similarity(index, queries, "spl", k=k, c=c)
+
     def contrib(tf, dl, df, boost, n, avgdl):
         tfn = tf * F.log(F.lit(1.0) + F.lit(c * avgdl) / dl) / F.lit(LOG2)
         lam = (df + F.lit(1.0)) / F.lit(n + 1.0)
@@ -123,7 +135,13 @@ def search_spl(index: InvertedIndex, queries: Dict[int, str],
 
 def search_f2exp(index: InvertedIndex, queries: Dict[int, str],
                  s: float = 0.5, kexp: float = 0.35,
-                 k: int = 1000) -> DataFrame:
+                 k: int = 1000, engine: str = "kernel") -> DataFrame:
+    if engine == "kernel":
+        from .kernel_sim import search_kernel_similarity
+
+        return search_kernel_similarity(index, queries, "f2exp", k=k, s=s,
+                                        kexp=kexp)
+
     def contrib(tf, dl, df, boost, n, avgdl):
         tfpart = tf / (tf + F.lit(s) + F.lit(s) * dl / F.lit(avgdl))
         return boost * tfpart * F.pow(F.lit(n + 1.0) / df, F.lit(kexp))
@@ -132,7 +150,13 @@ def search_f2exp(index: InvertedIndex, queries: Dict[int, str],
 
 
 def search_f2log(index: InvertedIndex, queries: Dict[int, str],
-                 s: float = 0.5, k: int = 1000) -> DataFrame:
+                 s: float = 0.5, k: int = 1000,
+                 engine: str = "kernel") -> DataFrame:
+    if engine == "kernel":
+        from .kernel_sim import search_kernel_similarity
+
+        return search_kernel_similarity(index, queries, "f2log", k=k, s=s)
+
     def contrib(tf, dl, df, boost, n, avgdl):
         tfpart = tf / (tf + F.lit(s) + F.lit(s) * dl / F.lit(avgdl))
         return boost * tfpart * F.log(F.lit(n + 1.0) / df)
