@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from anserini_spark.ops import corpus_queries as cq
 from anserini_spark.ops import dedup as dd
 from anserini_spark.ops import events as ev
+from anserini_spark.ops import index_queries as iq
 from anserini_spark.ops import similarity as sim
 from anserini_spark.ops import textstats as ts
 
@@ -38,6 +39,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": cq.top_terms,
         "bm25_topk": cq.bm25_topk,
         "bm25_tuned_topk": cq.bm25_tuned_topk,
+        # REAL block index + MaxScore kernel, oracled (SURVEY.md §2.3)
+        "bm25_index_topk": iq.bm25_index_topk,
         "doclen_histogram": cq.doclen_histogram,
         "top_bigrams": cq.top_bigrams,
         # dedup family
@@ -61,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(cq.oracle_sqls())
+    out.update(iq.oracle_sqls())
     out.update(ts.oracle_sqls())
     out.update(sim.oracle_sqls())
     out.update(ev.oracle_sqls())

@@ -104,7 +104,24 @@ def _shape_f2log(df: int, cf: int, n: float, avgdl: float, sum_tf: float,
     return shape
 
 
+def _shape_bm25(df: int, cf: int, n: float, avgdl: float, sum_tf: float,
+                k1: float = 0.9, b: float = 0.4):
+    """float64 BM25 (AccurateBM25Similarity formula) — used by the
+    driver-gate index query, where the DuckDB oracle is float64; the
+    float32 bit-parity path is ``search_kernel``."""
+    idf = np.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    c1 = k1 * (1.0 - b)
+    c2 = k1 * b / avgdl
+
+    def shape(tf, dl):
+        tf = tf.astype(np.float64)
+        return idf * tf / (tf + c1 + c2 * dl.astype(np.float64))
+
+    return shape
+
+
 _BUILDERS: Dict[str, Callable] = {
+    "bm25": _shape_bm25,
     "qld": _shape_qld,
     "qljm": _shape_qljm,
     "inl2": _shape_inl2,

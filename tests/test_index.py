@@ -109,3 +109,19 @@ def test_resumable_build_skips_done_stages(spark, tiny_index):
     assert {k: v["ts"] for k, v in man.items()} == {
         k: v["ts"] for k, v in before.items()
     }
+
+
+def test_bm25_index_topk_matches_corpus_recompute(spark):
+    """The driver-gate block-index query (real blocks.parquet +
+    MaxScore, float64 BM25) must rank identically to the
+    pure-DataFrame recompute over documents.parquet."""
+    from anserini_spark.ops.corpus_queries import bm25_topk
+    from anserini_spark.ops.index_queries import bm25_index_topk
+
+    sf = "/root/testdata/sf0.001"
+    via_index = [(r["qid"], r["doc_id"], r["rank"])
+                 for r in bm25_index_topk(spark, sf).collect()]
+    via_corpus = [(r["qid"], r["doc_id"], r["rank"])
+                  for r in bm25_topk(spark, sf)
+                  .orderBy("qid", "rank").collect()]
+    assert via_index == via_corpus
