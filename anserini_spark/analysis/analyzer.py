@@ -34,6 +34,7 @@ from __future__ import annotations
 import re
 from typing import Iterable, List
 
+import numpy as np
 import pandas as pd
 
 from .krovetz import kstem
@@ -131,6 +132,98 @@ def analyze_with_positions(
         if r is not None:
             out.append((r, pos))
     return out
+
+
+def analyze_batch_counts(texts: pd.Series, analyzer: str = "porter",
+                         keep_stopwords: bool = False):
+    """Vectorized batch form of ``Counter(analyze(text))`` per row.
+
+    Returns ``(doclens, terms_list, tfs_list)`` aligned with ``texts``
+    — per doc: total post-filter token count, lexicographically sorted
+    unique terms, and their frequencies. Semantics are IDENTICAL to
+    the per-row chain (pinned by a randomized equivalence test): the
+    occurrence-level work is C (pandas findall, factorize, bincount,
+    lexsort run-length); the per-token Python chain runs once per
+    UNIQUE token per batch.
+
+    Measured note (this container, Xeon AVX512, min-of-7 on 900K
+    tokens): batch 0.66s vs cached per-row 0.56s — PARITY, because the
+    per-row path's token cache already amortizes the chain to a dict
+    lookup and both paths share the dominant cost, the tokenizer regex
+    (~0.4us/token). The kernel therefore keeps the per-row path as
+    default; this batch form is the drop-in for environments where
+    vectorized string ops outrun CPython dict traffic.
+    """
+    n_docs = len(texts)
+    if analyzer == "ws":
+        toks = texts.fillna("").str.split()
+    else:
+        toks = texts.fillna("").str.findall(_TOKEN_RE)
+    per_doc = toks.str.len().to_numpy(dtype=np.int64)
+    empty = ([], [])
+    if int(per_doc.sum()) == 0:
+        return (np.zeros(n_docs, dtype=np.int64),
+                [empty[0][:] for _ in range(n_docs)],
+                [empty[1][:] for _ in range(n_docs)])
+    flat = np.concatenate(
+        [np.asarray(t, dtype=object) for t in toks.to_numpy()]
+    )
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), per_doc)
+    codes, uniques = pd.factorize(flat)
+
+    # per-UNIQUE-token chain (possessive strip -> lower -> stop -> stem)
+    if analyzer == "ws":
+        stem_of = [
+            (u if 0 < len(u) <= _MAX_TOKEN_LEN else None) for u in uniques
+        ]
+    else:
+        stem = analyzer if analyzer in ("porter", "krovetz") else "none"
+        cache = _TOKEN_CACHE.setdefault((stem, keep_stopwords), {})
+        stem_of = []
+        for u in uniques:
+            r = cache.get(u, _MISS)
+            if r is _MISS:
+                r = (_process_token(u, stem, keep_stopwords)
+                     if len(u) <= _MAX_TOKEN_LEN else None)
+                if len(cache) < _CACHE_CAP:
+                    cache[u] = r
+            stem_of.append(r)
+
+    stem_table: dict = {}
+    stem_ids = np.empty(len(uniques), dtype=np.int64)
+    for i, m in enumerate(stem_of):
+        stem_ids[i] = -1 if m is None else stem_table.setdefault(
+            m, len(stem_table))
+    if not stem_table:
+        return (np.zeros(n_docs, dtype=np.int64),
+                [[] for _ in range(n_docs)],
+                [[] for _ in range(n_docs)])
+    stem_strs = np.array(list(stem_table), dtype=object)
+    order = np.argsort(stem_strs)          # lexicographic term order
+    rank = np.empty(len(order), dtype=np.int64)
+    rank[order] = np.arange(len(order))
+
+    occ_stem = stem_ids[codes]
+    valid = occ_stem >= 0
+    d = doc_idx[valid]
+    s = rank[occ_stem[valid]]
+    doclens = np.bincount(d, minlength=n_docs).astype(np.int64)
+
+    o = np.lexsort((s, d))                 # group by (doc, term-rank)
+    d, s = d[o], s[o]
+    change = np.empty(len(d), dtype=bool)
+    change[0] = True
+    change[1:] = (d[1:] != d[:-1]) | (s[1:] != s[:-1])
+    starts = np.nonzero(change)[0]
+    tfs_flat = np.diff(np.append(starts, len(d))).astype(np.int64)
+    gd, gs = d[starts], s[starts]
+    terms_flat = stem_strs[order][gs]
+    bounds = np.searchsorted(gd, np.arange(n_docs + 1))
+    terms_list = [terms_flat[bounds[i]:bounds[i + 1]].tolist()
+                  for i in range(n_docs)]
+    tfs_list = [tfs_flat[bounds[i]:bounds[i + 1]].tolist()
+                for i in range(n_docs)]
+    return doclens, terms_list, tfs_list
 
 
 def analyze_series(texts: pd.Series, stem: str = "porter",

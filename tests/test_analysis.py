@@ -143,3 +143,41 @@ def test_krovetz_index_roundtrip(spark, tmp_path):
     got = {(r["qid"], r["docid"]) for r in hits}
     assert (1, "https://k/1") in got
     assert (2, "https://k/2") in got
+
+
+def test_analyze_batch_counts_equivalence():
+    """Vectorized batch analyzer == per-row analyze()+Counter for all
+    analyzer modes, on adversarial inputs (possessives, stopwords,
+    unicode, over-long tokens, empties, None)."""
+    import random
+    from collections import Counter
+
+    import pandas as pd
+
+    from anserini_spark.analysis.analyzer import (
+        analyze,
+        analyze_batch_counts,
+    )
+
+    random.seed(3)
+    words = ["the", "running", "buses", "can't", "example.com", "Spark's",
+             "MERGE", "data", "3.14", "1,000", "a" * 300, "über", "naïve",
+             "join", "city", ""]
+    texts = [" ".join(random.choice(words)
+                      for _ in range(random.randint(0, 40)))
+             for _ in range(600)]
+    texts += ["", None, "   ", "the the the", "x"]
+    s = pd.Series(texts)
+    for analyzer in ("porter", "krovetz", "none", "ws"):
+        dls, terms, tfs = analyze_batch_counts(s, analyzer=analyzer)
+        for i, t in enumerate(texts):
+            if analyzer == "ws":
+                ref = Counter(w for w in (t or "").split()
+                              if 0 < len(w) <= 255)
+            else:
+                stem = analyzer if analyzer in ("porter", "krovetz") else "none"
+                ref = Counter(analyze(t or "", stem=stem))
+            want = sorted(ref)
+            assert terms[i] == want, (analyzer, i)
+            assert tfs[i] == [ref[w] for w in want], (analyzer, i)
+            assert dls[i] == sum(ref.values()), (analyzer, i)
