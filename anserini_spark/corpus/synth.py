@@ -143,3 +143,57 @@ def web_corpus(spark: SparkSession, sf_dir: str, limit: int | None = None,
             yield _rows(b, multiplier)
 
     return docs.mapInPandas(gen, schema=CORPUS_SCHEMA)
+
+
+NATURAL_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+
+def natural_corpus(spark: SparkSession, n_docs: int,
+                   vocab: int = 100_000, zipf_s: float = 1.0,
+                   avg_len: int = 60, seed: int = 1505) -> DataFrame:
+    """Natural-vocabulary synthetic passages (FIXTURES.md latency
+    fixture): ``vocab`` distinct terms with a Zipf(s) frequency law —
+    the long-tail shape of a real web/passage corpus, unlike the
+    31-term driver testdata whose every term is a head term. Doc
+    lengths are ~lognormal around ``avg_len`` (MS MARCO-passage-like).
+    Deterministic: each partition seeds PCG64 with (seed, first
+    doc_id); no RNG state crosses the driver.
+    """
+    import numpy as np
+
+    ranks = np.arange(1, vocab + 1, dtype=np.float64)
+    weights = ranks ** (-zipf_s)
+    cdf = np.cumsum(weights / weights.sum())
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids = b["id"].to_numpy()
+            if len(ids) == 0:
+                continue
+            rng = np.random.default_rng((seed, int(ids[0])))
+            lens = np.clip(
+                rng.lognormal(np.log(avg_len), 0.4, len(ids)), 8, 400
+            ).astype(np.int64)
+            total = int(lens.sum())
+            toks = np.searchsorted(cdf, rng.random(total))
+            bounds = np.concatenate([[0], np.cumsum(lens)])
+            texts = [
+                " ".join(f"t{t}" for t in toks[bounds[i]:bounds[i + 1]])
+                for i in range(len(ids))
+            ]
+            yield pd.DataFrame({
+                "url": [f"https://nat.example.org/{i:012d}" for i in ids],
+                "text": texts,
+                "lang": "en",
+            })
+
+    return (
+        spark.range(0, n_docs, 1, 32)
+        .mapInPandas(gen, schema=NATURAL_SCHEMA)
+    )

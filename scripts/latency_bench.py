@@ -1,0 +1,114 @@
+"""Serving-path latency on a NATURAL-vocabulary index.
+
+The driver testdata has a ~31-term vocabulary, so every query term's
+posting list covers 10-60% of the collection — per-query posting
+volume far beyond a real corpus, making the 60 ms SimpleSearcher
+comparison (reference `docs/experiments-msmarco-passage.md:65`)
+unfalsifiable. This bench builds a passage-scale index with a 100K
+Zipf vocabulary (`corpus/synth.py natural_corpus`) and measures
+LocalSearcher p50/p95 at k=1000 over MS MARCO-style multi-term
+queries sampled log-uniformly from head/mid term ranks.
+
+    python scripts/latency_bench.py [--docs 1000000] [--queries 60]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def gen_queries(n: int, seed: int = 9) -> dict[int, str]:
+    """4-6 terms per query, ranks log-uniform in [20, 3000] — the
+    df range of typical natural-language query terms."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    out = {}
+    for qid in range(1, n + 1):
+        m = int(rng.integers(4, 7))
+        ranks = np.unique(
+            np.exp(rng.uniform(np.log(20), np.log(3000), m)).astype(int)
+        )
+        out[qid] = " ".join(f"t{r}" for r in ranks)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=1_000_000)
+    ap.add_argument("--queries", type=int, default=60)
+    ap.add_argument("--k", type=int, default=1000)
+    args = ap.parse_args()
+
+    import sys
+
+    sys.path.insert(0, REPO)
+    from anserini_spark.corpus.synth import natural_corpus
+    from anserini_spark.index.build import IndexConfig, build_index
+    from anserini_spark.search.local import LocalSearcher
+    from anserini_spark.session import get_spark
+
+    idx_dir = f"/tmp/anserini_natural_idx_{args.docs}"
+    if not os.path.exists(os.path.join(idx_dir, "stats.json")):
+        spark = get_spark(master="local[32]")
+        spark.sparkContext.setLogLevel("ERROR")
+        corpus = natural_corpus(spark, args.docs)
+        t0 = time.time()
+        build_index(
+            spark, corpus,
+            IndexConfig(out_dir=idx_dir, analyzer="ws",
+                        source_col="text",
+                        doc_partitions=32, block_partitions=64),
+        )
+        print(f"index built in {time.time() - t0:.0f}s")
+        spark.stop()
+
+    s = LocalSearcher(idx_dir)
+    queries = gen_queries(args.queries)
+    # warm the arrow datasets / page cache
+    for q in list(queries.values())[:3]:
+        s.search(q, k=args.k)
+    lats = []
+    n_hits = []
+    for q in queries.values():
+        t0 = time.perf_counter()
+        hits = s.search(q, k=args.k)
+        lats.append(time.perf_counter() - t0)
+        n_hits.append(len(hits))
+    lats.sort()
+    p50 = lats[len(lats) // 2]
+    p95 = lats[int(len(lats) * 0.95)]
+    mean = sum(lats) / len(lats)
+    report = {
+        "docs": args.docs,
+        "k": args.k,
+        "queries": len(queries),
+        "p50_ms": round(p50 * 1000, 1),
+        "p95_ms": round(p95 * 1000, 1),
+        "mean_ms": round(mean * 1000, 1),
+        "mean_hits": round(sum(n_hits) / len(n_hits), 1),
+    }
+    print(json.dumps(report, indent=2))
+
+    stamp = time.strftime("%Y-%m-%d %H:%M:%S")
+    with open(os.path.join(REPO, "BENCH.md"), "a") as f:
+        f.write(f"""
+## Natural-vocabulary serving latency {stamp} (LocalSearcher)
+
+{args.docs:,}-doc synthetic passage corpus, 100K-term Zipf vocabulary
+(`corpus/synth.py natural_corpus` — realistic long-tail dfs, unlike
+the 31-term driver testdata), {len(queries)} queries of 4-6 terms with
+ranks log-uniform in [20, 3000], k={args.k}, single thread:
+**p50 {report['p50_ms']} ms, p95 {report['p95_ms']} ms, mean
+{report['mean_ms']} ms** (mean hits/query {report['mean_hits']}).
+Reference SimpleSearcher: ~60 ms on MS MARCO passage dev (k=1000).
+""")
+
+
+if __name__ == "__main__":
+    main()

@@ -61,13 +61,17 @@ def spark_submit(master: str, pyfiles: str, script: str, *args: str) -> float:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=4)
+    ap.add_argument("--n", type=int, default=4,
+                    help="N of the N->4N pair; 4 (=>16) is the honest "
+                         "pair here — the 32 reported CPUs are SMT "
+                         "threads (see cpu_control.py ceiling)")
     ap.add_argument("--target-docs", type=int, default=4_800_000,
                     help="corpus rows before lang filter (~40%% survive)")
-    ap.add_argument("--repeats", type=int, default=3,
-                    help="runs per leg, interleaved N/4N; median kept "
-                         "(the sandbox host shows time-varying CPU-"
-                         "delivery noise)")
+    ap.add_argument("--repeats", type=int, default=5,
+                    help="runs per leg, interleaved N/4N; MEDIAN kept "
+                         "(pinned protocol; the sandbox host shows "
+                         "time-varying CPU-delivery noise — see the "
+                         "cpu_control.py table in BENCH.md)")
     args = ap.parse_args()
     n, n4 = args.n, args.n * 4
 
@@ -105,12 +109,15 @@ spark.stop()
         for label, cores in (("N", n), ("4N", n4)):
             out = os.path.join(work, f"idx_{label}_{rep}")
             shutil.rmtree(out, ignore_errors=True)
+            # pinned protocol: IDENTICAL logical job on both legs —
+            # same partition counts (sized for the 4N leg), same 48g
+            # heap; only the executor-thread count varies
             wall = spark_submit(
                 f"local[{cores}]", pyfiles,
                 os.path.join(REPO, "scripts", "build_index.py"),
                 "--corpus", corpus_dir, "--out", out,
-                "--partitions", str(cores), "--from-html",
-                "--block-partitions", str(cores * 4),
+                "--partitions", str(n4 * 2), "--from-html",
+                "--block-partitions", str(n4 * 4),
             )
             with open(os.path.join(out, "manifest.json")) as f:
                 man = json.load(f)
@@ -136,12 +143,13 @@ spark.stop()
             shutil.rmtree(out, ignore_errors=True)
     results = {}
     for label in ("N", "4N"):
-        # best-of-N: the host shows multi-minute noise windows (up to
-        # ~3x); min measures the code, median measures the environment.
-        # All runs are listed for transparency.
-        best = min(runs[label], key=lambda r: r["stage_wall_s"])
-        best["all_runs_stage_wall_s"] = [r["stage_wall_s"] for r in runs[label]]
-        results[label] = best
+        # pinned protocol: MEDIAN of the interleaved repeats; every
+        # run is listed for transparency
+        ordered = sorted(runs[label], key=lambda r: r["stage_wall_s"])
+        med = ordered[len(ordered) // 2]
+        med["all_runs_stage_wall_s"] = [r["stage_wall_s"] for r in runs[label]]
+        med["all_runs_docs_per_sec"] = [r["docs_per_sec"] for r in runs[label]]
+        results[label] = med
 
     eff = results["4N"]["docs_per_sec"] / (4 * results["N"]["docs_per_sec"])
     report = {
@@ -166,6 +174,11 @@ spark.stop()
         f"{results['N']['docs_per_sec']} | {results['N']['postings_per_sec']} |",
         f"| local[{n4}] (4N) | {n4} | {results['4N']['stage_wall_s']} | "
         f"{results['4N']['docs_per_sec']} | {results['4N']['postings_per_sec']} |",
+        "",
+        f"All N runs (docs/s): {results['N']['all_runs_docs_per_sec']}; "
+        f"all 4N runs: {results['4N']['all_runs_docs_per_sec']} "
+        f"(median kept; {args.repeats} interleaved repeats/leg, "
+        f"fixed 48g heap, fixed partitioning {n4 * 2}/{n4 * 4}).",
         "",
         f"**Scaling efficiency (R_4N / (4 * R_N)) = {eff:.3f}**"
         + (" (>= 0.8 criterion met)" if eff >= 0.8 else " (< 0.8)"),

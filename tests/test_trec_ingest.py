@@ -1,0 +1,81 @@
+"""TREC SGML reader vs the reference's documented parse semantics
+(`TrecCollectionTest.java:42-56`: only whitelisted content tags are
+retained in raw; DOCNO may span lines; <DOC id="..."> variant)."""
+
+import pytest
+
+from anserini_spark.corpus.trec_ingest import parse_trec_file
+
+SEGMENT = """<DOC>
+<DOCNO> AP-0001 </DOCNO>
+<FILEID>AP-NR-001</FILEID>
+<FIRST>should be excluded</FIRST>
+<HEAD>This is head and should be included</HEAD>
+<HEADLINE>This is headline and should be included</HEADLINE>
+<NOTE>should be excluded</NOTE>
+<TEXT>
+Hopefully we
+get this
+right
+</TEXT>
+</DOC>
+<DOC>
+<DOCNO>
+WSJ_1
+</DOCNO>
+<DOCID>should not leak</DOCID>
+<HL>
+   head text
+</HL>
+<SO>excluded source</SO>
+<TEXT>
+here is some text.
+</TEXT>
+</DOC>
+<DOC id="LDC-42">
+<KEYWORD>nope</KEYWORD>
+<TEXT>
+attribute id variant
+</TEXT>
+</DOC>
+"""
+
+
+def test_parse_trec_records():
+    recs = dict(parse_trec_file(SEGMENT))
+    assert set(recs) == {"AP-0001", "WSJ_1", "LDC-42"}
+    assert recs["AP-0001"] == (
+        "<HEAD>This is head and should be included</HEAD>\n"
+        "<HEADLINE>This is headline and should be included</HEADLINE>\n"
+        "<TEXT>\nHopefully we\nget this\nright\n</TEXT>"
+    )
+    assert recs["WSJ_1"] == (
+        "<HL>\nhead text\n</HL>\n<TEXT>\nhere is some text.\n</TEXT>"
+    )
+    assert recs["LDC-42"] == "<TEXT>\nattribute id variant\n</TEXT>"
+
+
+def test_trec_corpus_end_to_end(spark, tmp_path):
+    """File -> records -> tag-stripped contents -> index -> search."""
+    from anserini_spark.corpus.trec_ingest import trec_corpus
+    from anserini_spark.index.build import IndexConfig, build_index
+    from anserini_spark.search.bm25 import BM25Params
+    from anserini_spark.search.searcher import InvertedIndex, search_kernel
+
+    seg = tmp_path / "segment1.txt"
+    seg.write_text(SEGMENT)
+    corpus = trec_corpus(spark, str(seg))
+    rows = {r["url"]: r for r in corpus.collect()}
+    assert set(rows) == {"AP-0001", "WSJ_1", "LDC-42"}
+    assert rows["WSJ_1"]["text"] == "head text here is some text."
+
+    out = str(tmp_path / "tidx")
+    build_index(spark, corpus.select("url", "text", "lang"),
+                IndexConfig(out_dir=out, doc_partitions=1,
+                            block_partitions=1))
+    idx = InvertedIndex(spark, out)
+    hits = search_kernel(idx, {1: "headline", 2: "attribute variant"},
+                         BM25Params(k=5)).collect()
+    got = {(r["qid"], r["docid"]) for r in hits}
+    assert (1, "AP-0001") in got
+    assert (2, "LDC-42") in got
