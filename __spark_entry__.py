@@ -39,8 +39,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": cq.top_terms,
         "bm25_topk": cq.bm25_topk,
         "bm25_tuned_topk": cq.bm25_tuned_topk,
-        # REAL block index + MaxScore kernel, oracled (SURVEY.md §2.3)
+        # REAL block index + MaxScore kernel, oracled (SURVEY.md §2.3/§2.7)
         "bm25_index_topk": iq.bm25_index_topk,
+        "qld_index_topk": iq.qld_index_topk,
         "doclen_histogram": cq.doclen_histogram,
         "top_bigrams": cq.top_bigrams,
         # dedup family

@@ -127,3 +127,60 @@ def trec_corpus(spark: SparkSession, path: str,
                 yield pd.DataFrame(rows)
 
     return files.mapInPandas(split, schema=TREC_SCHEMA)
+
+
+def parse_trecweb_file(text: str) -> List[Tuple[str, str]]:
+    """(docid, raw) per Trecweb (Gov2-style) record —
+    `collection/TrecwebCollection.java:54-100`: every trimmed line
+    between <DOC>/</DOC> is collected; id = <DOCNO> content (must
+    start the record); raw = everything after </DOCHDR>. Malformed
+    records (missing/misplaced tags) are skipped, matching the
+    reference's ParseException-and-continue behavior."""
+    out: List[Tuple[str, str]] = []
+    builder: List[str] = []
+    found = False
+    for line in text.splitlines():
+        line = line.strip()
+        if line.startswith("<DOC>"):
+            found = True
+            builder = []
+            continue
+        if line.startswith("</DOC>") and builder:
+            joined = "\n".join(builder)
+            i, j = joined.find("<DOCNO>"), joined.find("</DOCNO>")
+            h, k = joined.find("<DOCHDR>"), joined.find("</DOCHDR>")
+            if i == 0 and j != -1 and h != -1 and k != -1 and k >= h:
+                docid = joined[len("<DOCNO>"):j].strip()
+                raw = joined[k + len("</DOCHDR>"):].strip()
+                out.append((docid, raw))
+            found = False
+            builder = []
+            continue
+        if found:
+            builder.append(line)
+    return out
+
+
+def trecweb_corpus(spark: SparkSession, path: str,
+                   lang: str = "en") -> DataFrame:
+    """Corpus DataFrame from Trecweb (Gov2-style) files; raw is the
+    archived HTML, text its Jsoup-contract extraction."""
+    files = spark.read.text(path, wholetext=True)
+
+    def split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {"url": [], "text": [], "lang": [], "raw": []}
+            for blob in b["value"]:
+                for docid, raw in parse_trecweb_file(blob or ""):
+                    rows["url"].append(docid)
+                    try:
+                        contents = extract_text(raw).strip()
+                    except Exception:
+                        contents = ""
+                    rows["text"].append(contents)
+                    rows["lang"].append(lang)
+                    rows["raw"].append(raw)
+            if rows["url"]:
+                yield pd.DataFrame(rows)
+
+    return files.mapInPandas(split, schema=TREC_SCHEMA)

@@ -27,10 +27,17 @@ from pyspark.sql import functions as F
 from ..index.build import IndexConfig, build_index
 from ..search.kernel_sim import search_kernel_similarity
 from ..search.searcher import InvertedIndex
-from .corpus_queries import FIXED_QUERIES, TOPK, _bm25_oracle
+from .corpus_queries import (
+    FIXED_QUERIES,
+    TOPK,
+    _bm25_oracle,
+    _TOK_CTE,
+    _values_clause,
+)
 
 K1 = 0.9
 B = 0.4
+MU = 1000.0
 
 
 def _gate_index(spark: SparkSession, sf_dir: str) -> str:
@@ -55,16 +62,18 @@ def _gate_index(spark: SparkSession, sf_dir: str) -> str:
     return out_dir
 
 
-def bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-query BM25 top-10 answered through the block index +
-    MaxScore kernel; (qid, doc_id, rank, score) with tie-adjusted
-    4-decimal scores."""
-    idx = InvertedIndex(spark, _gate_index(spark, sf_dir))
+def _fixed_queries() -> dict[int, str]:
     queries: dict[int, str] = {}
     for qid, term in FIXED_QUERIES:
         queries[qid] = (queries.get(qid, "") + " " + term).strip()
-    hits = search_kernel_similarity(idx, queries, "bm25", k=TOPK,
-                                    k1=K1, b=B)
+    return queries
+
+
+def _index_topk(spark: SparkSession, sf_dir: str, sim: str,
+                **params) -> DataFrame:
+    idx = InvertedIndex(spark, _gate_index(spark, sf_dir))
+    hits = search_kernel_similarity(idx, _fixed_queries(), sim, k=TOPK,
+                                    **params)
     return hits.select(
         "qid",
         F.col("docid").cast("long").alias("doc_id"),
@@ -73,18 +82,76 @@ def bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "rank")
 
 
-def oracle_sqls() -> dict[str, str]:
-    # the corpus oracle, plus the ScoreTiesAdjuster transform the
-    # engine applies (round 4, perturb duplicate runs by 1e-6*i)
-    base = _bm25_oracle(K1, B).strip().rstrip()
-    return {
-        "bm25_index_topk": f"""
+def bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-query BM25 top-10 answered through the block index +
+    MaxScore kernel; (qid, doc_id, rank, score) with tie-adjusted
+    4-decimal scores."""
+    return _index_topk(spark, sf_dir, "bm25", k1=K1, b=B)
+
+
+def qld_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-query QLD (Dirichlet mu=1000, per-term clamp at 0 —
+    Lucene LMDirichletSimilarity semantics) through the same block
+    index + MaxScore kernel."""
+    return _index_topk(spark, sf_dir, "qld", mu=MU)
+
+
+def _with_tie_adjust(base_sql: str) -> str:
+    """Wrap a (qid, doc_id, rank, score-rounded-4) query with the
+    ScoreTiesAdjuster transform (subtract 1e-6 per preceding row in a
+    run of equal rounded scores)."""
+    return f"""
 WITH base AS (
-{base}
+{base_sql.strip()}
 )
 SELECT qid, doc_id, rank,
        score - 1e-6 * (row_number() OVER (
            PARTITION BY qid, score ORDER BY rank) - 1) AS score
 FROM base
-""",
+"""
+
+
+def _qld_oracle(mu: float) -> str:
+    return f"""
+WITH {_TOK_CTE},
+q(qid, term) AS (VALUES {_values_clause()}),
+stats AS (SELECT CAST(sum(doclen) AS DOUBLE) AS sum_tf FROM dl),
+cf AS (
+  SELECT term, CAST(sum(tf) AS DOUBLE) AS cf FROM tf
+  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term
+),
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         sum(greatest(0.0,
+           ln(1.0 + CAST(tf.tf AS DOUBLE) / ({mu!r} * (c.cf / s.sum_tf)))
+           + ln({mu!r} / (CAST(dl.doclen AS DOUBLE) + {mu!r}))
+         )) AS score
+  FROM q
+  JOIN cf c ON q.term = c.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id
+  HAVING sum(greatest(0.0,
+           ln(1.0 + CAST(tf.tf AS DOUBLE) / ({mu!r} * (c.cf / s.sum_tf)))
+           + ln({mu!r} / (CAST(dl.doclen AS DOUBLE) + {mu!r}))
+         )) > 0
+)
+SELECT qid, doc_id, rank, round(score, 4) AS score
+FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank,
+         score
+  FROM scored
+)
+WHERE rank <= {TOPK}
+"""
+
+
+def oracle_sqls() -> dict[str, str]:
+    # the corpus oracles, plus the ScoreTiesAdjuster transform the
+    # engine applies (round 4, perturb duplicate runs by 1e-6*i)
+    return {
+        "bm25_index_topk": _with_tie_adjust(_bm25_oracle(K1, B)),
+        "qld_index_topk": _with_tie_adjust(_qld_oracle(MU)),
     }

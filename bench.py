@@ -122,9 +122,27 @@ def main() -> None:
     timings["search_single_p50"] = round(singles[len(singles) // 2], 3)
     timings["search_single_p95"] = round(singles[-1], 3)
 
+    # 3b. serving-path latency (LocalSearcher over the same index
+    # files, no Spark jobs)
+    from anserini_spark.search.local import LocalSearcher
+
+    ls = LocalSearcher(idx_dir)
+    ls.search("warm up", k=10)
+    lats = []
+    for qid, qtext in list(queries.items())[:12]:
+        t0 = time.perf_counter()
+        ls.search(qtext, k=1000)
+        lats.append(time.perf_counter() - t0)
+    lats.sort()
+    timings["local_search_p50"] = round(lats[len(lats) // 2], 3)
+    timings["local_search_p95"] = round(lats[-1], 3)
+
     # 4. driver-gate headliners
+    from anserini_spark.ops import index_queries as iq
+
     for name, fn in [
         ("bm25_topk", cq.bm25_topk),
+        ("bm25_index_topk", iq.bm25_index_topk),
         ("term_dictionary", cq.term_dictionary),
         ("minhash_lsh_pairs", dd.minhash_lsh_pairs),
         ("cosine_topk", sim.cosine_topk),

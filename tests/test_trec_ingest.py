@@ -79,3 +79,44 @@ def test_trec_corpus_end_to_end(spark, tmp_path):
     got = {(r["qid"], r["docid"]) for r in hits}
     assert (1, "AP-0001") in got
     assert (2, "LDC-42") in got
+
+
+TRECWEB_SEGMENT = """<DOC>
+<DOCNO> WEB-0001 </DOCNO>
+<DOCHDR>http://example.org/1 HTTP/1.1 200
+Content-Type: text/html</DOCHDR>
+<html><body>first web page body</body></html>
+</DOC>
+<DOC>
+WEB-0002 </DOCNO>
+<DOCHDR>broken: no DOCNO start tag</DOCHDR>
+<html>should be skipped</html>
+</DOC>
+<DOC>
+<DOCNO> WEB-0003 </DOCNO>
+<DOCHDR>http://example.org/3 HTTP/1.1 200</DOCHDR>
+<html><body>third <b>page</b></body></html>
+</DOC>
+"""
+
+
+def test_parse_trecweb_skips_malformed():
+    """Mirrors the reference's trecweb sample: record 2 lacks the
+    <DOCNO> start tag and must be skipped, not raise
+    (`TrecwebCollectionTest` sample comments)."""
+    from anserini_spark.corpus.trec_ingest import parse_trecweb_file
+
+    recs = parse_trecweb_file(TRECWEB_SEGMENT)
+    assert [d for d, _ in recs] == ["WEB-0001", "WEB-0003"]
+    assert recs[0][1].startswith("<html>")
+    assert "DOCHDR" not in recs[0][1]
+
+
+def test_trecweb_corpus(spark, tmp_path):
+    from anserini_spark.corpus.trec_ingest import trecweb_corpus
+
+    seg = tmp_path / "web1.txt"
+    seg.write_text(TRECWEB_SEGMENT)
+    rows = {r["url"]: r["text"] for r in trecweb_corpus(spark, str(seg)).collect()}
+    assert rows == {"WEB-0001": "first web page body",
+                    "WEB-0003": "third page"}
