@@ -29,11 +29,25 @@ def _burn(n: int, q) -> None:
     q.put(time.perf_counter() - t0)
 
 
-def leg(k: int, n: int) -> float:
+def _burn_mem(n: int, q) -> None:
+    """String-churn workload shaped like HTML extraction/tokenization
+    (build, split, join large strings) — memory-bandwidth heavy, the
+    profile of the docvec stage."""
+    t0 = time.perf_counter()
+    base = "lorem ipsum dolor sit amet consectetur adipiscing elit " * 200
+    acc = 0
+    for i in range(max(1, n // 100_000)):
+        s = base + str(i)
+        toks = s.split()
+        acc += len(" ".join(toks[::2]))
+    q.put(time.perf_counter() - t0)
+
+
+def leg(k: int, n: int, fn=_burn) -> float:
     """Aggregate throughput (work-units/s) of k parallel burners,
     straggler-bound."""
     q = mp.Queue()
-    ps = [mp.Process(target=_burn, args=(n, q)) for _ in range(k)]
+    ps = [mp.Process(target=fn, args=(n, q)) for _ in range(k)]
     for p in ps:
         p.start()
     for p in ps:
@@ -50,9 +64,11 @@ def main() -> None:
 
     ks = (1, 2, 4, 8, 16, 32)
     best = {k: 0.0 for k in ks}
+    best_mem = {k: 0.0 for k in ks}
     for _ in range(args.repeats):
         for k in ks:
             best[k] = max(best[k], leg(k, args.work))
+            best_mem[k] = max(best_mem[k], leg(k, args.work, _burn_mem))
     base = best[1]
     rows = {
         k: {
@@ -64,12 +80,18 @@ def main() -> None:
     pair_2_8 = round(best[8] / (4 * best[2]), 3)
     pair_4_16 = round(best[16] / (4 * best[4]), 3)
     pair_8_32 = round(best[32] / (4 * best[8]), 3)
+    mem_2_8 = round(best_mem[8] / (4 * best_mem[2]), 3)
+    mem_4_16 = round(best_mem[16] / (4 * best_mem[4]), 3)
+    mem_8_32 = round(best_mem[32] / (4 * best_mem[8]), 3)
     report = {
         "cpus_reported": os.cpu_count(),
         "per_k": rows,
         "ceiling_N2_to_8": pair_2_8,
         "ceiling_N4_to_16": pair_4_16,
         "ceiling_N8_to_32": pair_8_32,
+        "mem_ceiling_N2_to_8": mem_2_8,
+        "mem_ceiling_N4_to_16": mem_4_16,
+        "mem_ceiling_N8_to_32": mem_8_32,
     }
     print(json.dumps(report, indent=2))
 
@@ -92,7 +114,10 @@ def main() -> None:
     lines += [
         "",
         f"**Host ceiling for 2->8 scaling: {pair_2_8}; 4->16: "
-        f"{pair_4_16}; 8->32: {pair_8_32}.** "
+        f"{pair_4_16}; 8->32: {pair_8_32}** (pure CPU) — and for the "
+        f"memory-bandwidth-bound string-churn workload that matches "
+        f"the extraction stage's profile: **2->8 {mem_2_8}, 4->16 "
+        f"{mem_4_16}, 8->32 {mem_8_32}**. "
         f"The box reports {os.cpu_count()} CPUs but they "
         "are SMT threads on ~half as many physical cores: 32 workers "
         "deliver only ~21-22 cores of compute, so an 8->32 efficiency "
