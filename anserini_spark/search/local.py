@@ -2,27 +2,38 @@
 no Spark session required.
 
 The reference's `SimpleSearcher` answers single queries in ~60 ms
-(`docs/experiments-msmarco-passage.md:65`); a Spark job can't (fixed
-scheduling floor). Because the index is open parquet, a driver-side
-searcher reads the term-pruned slices directly via pyarrow
-(row-group min/max pruning on the (term, doc_id)-sorted block files)
-and scores with the same numpy kernels — bit-identical results to the
-distributed engine (pinned by tests), latency in the tens of
-milliseconds.
+(`docs/experiments-msmarco-passage.md:65`) against an OS-page-cached
+mmap'd Lucene index; a Spark job can't (fixed scheduling floor).
+Because the index is open parquet, a driver-side searcher reads the
+term-pruned slices directly via pyarrow and scores with the same
+numpy kernels — result-identical to the distributed engine (pinned by
+tests).
 
-Use the distributed engine for batch retrieval over a huge index;
-use LocalSearcher as the serving path / latency benchmark.
+Serving mode (``preload=True``, the latency-bench configuration and
+the honest analogue of Lucene's warm mmap): at init the posting-block
+table is loaded once and sorted by term, so a query's block rows are
+O(log n) searchsorted slices instead of a parquet filter scan, and
+the (doc_id -> url) map is held as two sorted arrays. With
+``preload=False`` everything stays on-disk pyarrow with row-group
+pruning (cold-start mode).
+
+Scoring is one dense float64 accumulator over the whole index
+(segments are dense id ranges: global slot = seg_offset[segment] +
+row), one vectorized update per query term — no per-segment Python
+loop. Top-k selects every candidate tied at the kth score, then
+applies the (score desc, url asc) order and the ScoreTiesAdjuster
+rounding, exactly like the distributed engines.
 """
 
 from __future__ import annotations
 
 import json
 import os
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
+import pandas as pd
 import pyarrow.dataset as ds
-import pyarrow.parquet as pq
 
 from ..analysis.analyzer import analyze, stem_mode
 from ..index.blocks import decode_block_run
@@ -32,7 +43,7 @@ from .bm25 import BM25Params, idf
 
 class LocalSearcher:
     def __init__(self, index_dir: str, k1: float = 0.9, b: float = 0.4,
-                 lossy: bool = False):
+                 lossy: bool = False, preload: bool = False):
         self.dir = index_dir
         self._lossy = lossy
         with open(os.path.join(index_dir, "stats.json")) as f:
@@ -43,12 +54,40 @@ class LocalSearcher:
         self.params = BM25Params(k1=k1, b=b, lossy=lossy)
         self.seg_counts = {int(s): int(c)
                            for s, c in self.stats["segments"].items()}
+        # dense global slots: segment -> offset into one accumulator
+        segs = sorted(self.seg_counts)
+        self._seg_offset = {}
+        off = 0
+        for s in segs:
+            self._seg_offset[s] = off
+            off += self.seg_counts[s]
+        self._n_slots = off
+        self._offsets_arr = np.zeros(max(segs) + 1 if segs else 1,
+                                     dtype=np.int64)
+        for s, o in self._seg_offset.items():
+            self._offsets_arr[s] = o
         self._blocks = ds.dataset(os.path.join(index_dir, "blocks.parquet"),
                                   format="parquet")
         self._dict = ds.dataset(os.path.join(index_dir, "dictionary.parquet"),
                                 format="parquet")
         self._docvec = ds.dataset(os.path.join(index_dir, "docvec.parquet"),
                                   format="parquet")
+        self._pre: Optional[pd.DataFrame] = None
+        self._pre_terms: Optional[np.ndarray] = None
+        self._docmap: Optional[Tuple[np.ndarray, np.ndarray]] = None
+        if preload:
+            self._preload()
+
+    def _preload(self) -> None:
+        tbl = self._blocks.to_table().to_pandas()
+        tbl = tbl.sort_values(["term", "segment", "first_doc"],
+                              kind="mergesort").reset_index(drop=True)
+        self._pre = tbl
+        self._pre_terms = tbl["term"].to_numpy()
+        dm = self._docvec.to_table(columns=["doc_id", "url"]).to_pandas()
+        dm = dm.sort_values("doc_id", kind="mergesort")
+        self._docmap = (dm["doc_id"].to_numpy(),
+                        dm["url"].to_numpy())
 
     def set_bm25(self, k1: float, b: float) -> None:
         self.params = BM25Params(k1=k1, b=b, k=self.params.k,
@@ -66,14 +105,50 @@ class LocalSearcher:
                                 columns=["term", "df"])
         return dict(zip(t["term"].to_pylist(), t["df"].to_pylist()))
 
+    def _block_rows(self, terms: List[str]) -> pd.DataFrame:
+        if self._pre is not None:
+            parts = []
+            for t in terms:
+                lo = np.searchsorted(self._pre_terms, t, side="left")
+                hi = np.searchsorted(self._pre_terms, t, side="right")
+                if hi > lo:
+                    parts.append(self._pre.iloc[lo:hi])
+            if not parts:
+                return self._pre.iloc[:0]
+            return pd.concat(parts)
+        return self._blocks.to_table(
+            filter=ds.field("term").isin(terms)
+        ).to_pandas().sort_values(["term", "segment", "first_doc"],
+                                  kind="mergesort")
+
     def _urls_for(self, doc_ids: np.ndarray) -> Dict[int, str]:
         if doc_ids.size == 0:
             return {}
+        if self._docmap is not None:
+            ids, urls = self._docmap
+            pos = np.searchsorted(ids, doc_ids)
+            pos = np.minimum(pos, len(ids) - 1)
+            return {int(d): str(urls[p])
+                    for d, p in zip(doc_ids, pos) if ids[p] == d}
         t = self._docvec.to_table(
             filter=ds.field("doc_id").isin(doc_ids.tolist()),
             columns=["doc_id", "url"],
         )
         return dict(zip(t["doc_id"].to_pylist(), t["url"].to_pylist()))
+
+    def _slots(self, docs: np.ndarray) -> np.ndarray:
+        """global doc_id (segment<<40|row) -> dense accumulator slot."""
+        seg = (docs >> SEG_SHIFT).astype(np.int64)
+        row = (docs & ((1 << SEG_SHIFT) - 1)).astype(np.int64)
+        return self._offsets_arr[seg] + row
+
+    def _unslot(self, slots: np.ndarray) -> np.ndarray:
+        """dense slot -> global doc_id (inverse of _slots)."""
+        segs = sorted(self._seg_offset)
+        bounds = np.array([self._seg_offset[s] for s in segs], dtype=np.int64)
+        idx = np.searchsorted(bounds, slots, side="right") - 1
+        seg_arr = np.array(segs, dtype=np.int64)[idx]
+        return (seg_arr << SEG_SHIFT) + (slots - bounds[idx])
 
     def search(self, query: str, k: int = 10) -> List[Tuple[str, int, float]]:
         """Returns [(url, rank, tie-adjusted score)] — same semantics
@@ -94,67 +169,55 @@ class LocalSearcher:
             wmap[t] = np.float32(wmap.get(t, np.float32(0.0)) + w)
         if not wmap:
             return []
-        tbl = self._blocks.to_table(
-            filter=ds.field("term").isin(list(wmap)),
-        ).to_pandas()
-        # score per segment with dense float64 accumulation
-        cand_scores: List[Tuple[np.ndarray, np.ndarray]] = []
-        for seg, pdf in tbl.groupby("segment"):
-            base = int(seg) << SEG_SHIFT
-            count = self.seg_counts.get(int(seg), 0)
-            if count == 0:
-                continue
-            acc = np.zeros(count, dtype=np.float64)
-            touched = []
-            pdf = pdf.sort_values(["term", "first_doc"], kind="mergesort")
-            for t, g in pdf.groupby("term", sort=False):
-                docs, tfs, dls = decode_block_run(
-                    list(g["docs_bin"]), list(g["tfs_bin"]),
-                    list(g["dls_bin"]), g["n"].to_numpy(),
-                    g["first_doc"].to_numpy(), g["last_doc"].to_numpy(),
-                )
-                idx = (docs - base).astype(np.int64)
-                tf32 = tfs.astype(np.float32)
-                if p.lossy:
-                    from .smallfloat import quantize_length
-
-                    dl32 = quantize_length(dls).astype(np.float32)
-                else:
-                    dl32 = dls.astype(np.float32)
-                contrib = (wmap[t] * (tf32 / (tf32 + cache1 + cache2 * dl32))
-                           ).astype(np.float32)
-                acc[idx] += contrib.astype(np.float64)
-                touched.append(idx)
-            cand = np.unique(np.concatenate(touched))
-            scores = acc[cand].astype(np.float32)
-            if len(cand) > k:
-                # stable tie-break (doc_id asc == url order within a
-                # segment) so the per-segment cut matches the global
-                # (score desc, url asc) merge order
-                top = np.lexsort((cand, -scores))[:k]
-                cand, scores = cand[top], scores[top]
-            cand_scores.append((cand + base, scores))
-        if not cand_scores:
+        tbl = self._block_rows(sorted(wmap))
+        if len(tbl) == 0:
             return []
-        all_ids = np.concatenate([c for c, _ in cand_scores])
-        all_scores = np.concatenate([s for _, s in cand_scores])
-        urls = self._urls_for(all_ids)
+
+        acc = np.zeros(self._n_slots, dtype=np.float64)
+        touched: List[np.ndarray] = []
+        for t, g in tbl.groupby("term", sort=True):
+            docs, tfs, dls = decode_block_run(
+                list(g["docs_bin"]), list(g["tfs_bin"]),
+                list(g["dls_bin"]), g["n"].to_numpy(),
+                g["first_doc"].to_numpy(), g["last_doc"].to_numpy(),
+            )
+            slots = self._slots(docs)
+            tf32 = tfs.astype(np.float32)
+            if p.lossy:
+                from .smallfloat import quantize_length
+
+                dl32 = quantize_length(dls).astype(np.float32)
+            else:
+                dl32 = dls.astype(np.float32)
+            contrib = (wmap[t] * (tf32 / (tf32 + cache1 + cache2 * dl32))
+                       ).astype(np.float32)
+            acc[slots] += contrib.astype(np.float64)
+            touched.append(slots)
+        cand = np.unique(np.concatenate(touched))
+        scores = acc[cand].astype(np.float32)
+        if len(cand) > k:
+            # keep everything tied at the kth score, then url-order
+            kth = np.partition(scores, len(scores) - k)[len(scores) - k]
+            keep = scores >= kth
+            cand, scores = cand[keep], scores[keep]
+        doc_ids = self._unslot(cand)
+        urls = self._urls_for(doc_ids)
         order = sorted(
-            range(len(all_ids)),
-            key=lambda i: (-all_scores[i], urls[int(all_ids[i])]),
+            range(len(doc_ids)),
+            key=lambda i: (-scores[i], urls[int(doc_ids[i])]),
         )[:k]
         # tie adjustment (ScoreTiesAdjusterReranker.java:36-73)
         out: List[Tuple[str, int, float]] = []
         prev_round = None
         dup = 0
         for rank, i in enumerate(order, start=1):
-            r = round(float(all_scores[i]), 4)
+            r = round(float(scores[i]), 4)
             if prev_round is not None and r == prev_round:
                 dup += 1
             else:
                 dup = 0
             prev_round = r
-            out.append((urls[int(all_ids[i])], rank, r - dup * 1e-6))
+            out.append((urls[int(doc_ids[i])], rank, r - dup * 1e-6))
         return out
 
     def batch_search(self, queries: Dict[int, str], k: int = 10):
