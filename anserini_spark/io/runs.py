@@ -61,3 +61,35 @@ def read_qrels(spark: SparkSession, path: str) -> DataFrame:
         parts.getItem(2).alias("docid"),
         parts.getItem(3).cast("int").alias("grade"),
     )
+
+
+def read_trec_topics(path: str) -> Dict[int, str]:
+    """Classic TREC <top> topic files -> {qid: title}
+    (`search/topicreader/TrecTopicReader.java:64-140`: id is the text
+    after ':' on the <num> line — '<num> Number: 301' — and the query
+    is the <title> text after ':' or '>', read from the next line when
+    the tag line itself is empty)."""
+    topics: Dict[int, str] = {}
+    num: int | None = None
+    lines = open(path, encoding="utf-8").read().splitlines()
+    i = 0
+    while i < len(lines):
+        line = lines[i].strip()
+        if line.startswith("<num>"):
+            k = line.find(":")
+            val = line[k + 1:].strip() if k != -1 else line[5:].strip()
+            val = val.replace("</num>", "").strip()
+            num = int(val) if val else None
+        elif line.startswith("<title>") and num is not None:
+            k = line.find(":")
+            if k == -1:
+                k = line.find(">")
+            title = line[k + 1:].replace("</title>", "").strip()
+            j = i + 1
+            while not title and j < len(lines):  # title on following line
+                title = lines[j].strip().replace("</title>", "").strip()
+                j += 1
+            topics[num] = title
+            num = None
+        i += 1
+    return topics

@@ -123,7 +123,7 @@ cf AS (
 scored AS (
   SELECT q.qid, tf.doc_id,
          sum(greatest(0.0,
-           ln(1.0 + CAST(tf.tf AS DOUBLE) / ({mu!r} * (c.cf / s.sum_tf)))
+           ln(1.0 + CAST(tf.tf AS DOUBLE) / ({mu!r} * ((c.cf + 1.0) / (s.sum_tf + 1.0))))
            + ln({mu!r} / (CAST(dl.doclen AS DOUBLE) + {mu!r}))
          )) AS score
   FROM q
@@ -132,10 +132,6 @@ scored AS (
   JOIN dl ON dl.doc_id = tf.doc_id
   CROSS JOIN stats s
   GROUP BY q.qid, tf.doc_id
-  HAVING sum(greatest(0.0,
-           ln(1.0 + CAST(tf.tf AS DOUBLE) / ({mu!r} * (c.cf / s.sum_tf)))
-           + ln({mu!r} / (CAST(dl.doclen AS DOUBLE) + {mu!r}))
-         )) > 0
 )
 SELECT qid, doc_id, rank, round(score, 4) AS score
 FROM (

@@ -34,7 +34,8 @@ _LOG2 = np.log(2.0)
 
 def _shape_qld(df: int, cf: int, n: float, avgdl: float, sum_tf: float,
                mu: float = 1000.0):
-    p_c = cf / sum_tf
+    # (cf+1)/(sum+1): Lucene LMSimilarity.DefaultCollectionModel
+    p_c = (cf + 1.0) / (sum_tf + 1.0)
 
     def shape(tf, dl):
         tf = tf.astype(np.float64)
@@ -48,7 +49,7 @@ def _shape_qld(df: int, cf: int, n: float, avgdl: float, sum_tf: float,
 
 def _shape_qljm(df: int, cf: int, n: float, avgdl: float, sum_tf: float,
                 lam: float = 0.1):
-    p_c = cf / sum_tf
+    p_c = (cf + 1.0) / (sum_tf + 1.0)
 
     def shape(tf, dl):
         tf = tf.astype(np.float64)
@@ -176,7 +177,7 @@ def search_kernel_similarity(
     hits = blocks.groupBy("segment").applyInPandas(
         fn, schema="qid int, doc_id long, score double"
     )
-    # parity with the DataFrame path: docs whose every term contribution
-    # clamps to zero do not match
-    hits = hits.filter(F.col("score") > 0)
+    # Lucene returns every doc matching >=1 query term, INCLUDING
+    # docs whose clamped LM score is 0 (golden: QLD `1 Q0 WSJ_1 3
+    # 0.000000`, `TrecEndToEndTest.java:92-96`) — no score filter
     return _finalize(index, hits, k)

@@ -6,7 +6,11 @@ default mu=1000, ``LMJelinekMercerSimilarity(lambda)`` default 0.1,
 
 Per-matched-term contributions:
 
-    p(t|C)   = cf_t / sumTotalTermFreq
+    p(t|C)   = (cf_t + 1) / (sumTotalTermFreq + 1)
+
+(the +1s are Lucene's ``LMSimilarity.DefaultCollectionModel`` —
+pinned by the reference's end-to-end golden run lines, e.g. QLD
+``1 Q0 DOC222 1 0.002500``, `TrecEndToEndTest.java:92-96`)
     QLD_t    = max(0, log(1 + tf / (mu * p(t|C))) + log(mu / (dl + mu)))
     QLJM_t   = max(0, log(1 + ((1-lambda) * tf / dl) / (lambda * p(t|C))))
     doc      = sum_t score_t
@@ -86,7 +90,8 @@ def _lm_search(index: InvertedIndex, queries: Dict[int, str], contrib_fn,
     )
     cfs = {r["term"]: int(r["cf"]) for r in cf_rows}
     rows = [
-        (qid, t, float(cnt), cfs[t] / sum_tf)
+        # (cf+1)/(sum+1): Lucene DefaultCollectionModel smoothing
+        (qid, t, float(cnt), (cfs[t] + 1.0) / (sum_tf + 1.0))
         for qid, c in per_q.items()
         for t, cnt in c.items()
         if t in cfs
@@ -106,11 +111,11 @@ def _lm_search(index: InvertedIndex, queries: Dict[int, str], contrib_fn,
     dl = F.col("doclen").cast("double")
     # per-term clamp at 0 (Lucene LMSimilarity.score), then sum
     contrib = F.greatest(F.lit(0.0), F.col("boost") * contrib_fn(tf, dl))
+    # matched docs are kept even at clamped score 0 (Lucene keeps them)
     hits = (
         postings.join(F.broadcast(qterms), "term")
         .groupBy("qid", "doc_id")
         .agg(F.sum(contrib).alias("score"))
-        .filter(F.col("score") > 0)
     )
     docmap = index.docmap.select("doc_id", "url")
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("url"))

@@ -25,15 +25,17 @@ def _brute(docs, queries, k=20):
         hits = []
         for url in docs:
             s = 0.0
+            matched = False
             for t, boost in qc.items():
                 f = tf[url].get(t)
                 if not f or t not in cf:
                     continue
-                p_c = cf[t] / sum_tf
+                p_c = (cf[t] + 1.0) / (sum_tf + 1.0)
                 # per-term clamp at 0 (Lucene LMSimilarity.score)
                 s += max(0.0, boost * (math.log(1 + f / (MU * p_c))
                                        + math.log(MU / (dl[url] + MU))))
-            if s > 0:
+                matched = True
+            if matched:
                 hits.append((url, s))
         hits.sort(key=lambda x: (-x[1], x[0]))
         out[qid] = [(u, r + 1, round(s, 6)) for r, (u, s) in enumerate(hits[:k])]
@@ -71,7 +73,7 @@ def _brute_jm(docs, queries, lam=0.1, k=20):
                 f = tf[url].get(t)
                 if not f or t not in cf:
                     continue
-                p_c = cf[t] / sum_tf
+                p_c = (cf[t] + 1.0) / (sum_tf + 1.0)
                 s += max(0.0, boost * math.log(
                     1 + ((1 - lam) * f / dl[url]) / (lam * p_c)
                 ))
