@@ -21,12 +21,18 @@ from pyspark.sql import SparkSession
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--corpus", required=True,
-                    help="parquet dir with (url, warc_ts, html, text, lang)")
+                    help="input path: parquet table, or raw collection "
+                         "files when --collection is set")
+    ap.add_argument("--collection", default="parquet",
+                    choices=["parquet", "trec", "trecweb", "warc", "json"],
+                    help="input format (-collection analogue: "
+                         "TrecCollection/TrecwebCollection/ClueWeb/"
+                         "JsonCollection)")
     ap.add_argument("--out", required=True)
     ap.add_argument("--partitions", type=int, default=32)
     ap.add_argument("--block-partitions", type=int, default=None)
     ap.add_argument("--analyzer", default="porter",
-                    choices=["porter", "none", "ws"])
+                    choices=["porter", "krovetz", "none", "ws"])
     ap.add_argument("--lang", default="en")
     ap.add_argument("--keep-stopwords", action="store_true")
     ap.add_argument("--from-html", action="store_true",
@@ -47,7 +53,28 @@ def main() -> None:
         block_partitions=args.block_partitions or args.partitions,
         source_col="html" if args.from_html else "text",
     )
-    corpus = spark.read.parquet(args.corpus)
+    if args.collection == "parquet":
+        corpus = spark.read.parquet(args.corpus)
+    elif args.collection == "trec":
+        from anserini_spark.corpus.trec_ingest import trec_corpus
+
+        corpus = trec_corpus(spark, args.corpus).select("url", "text", "lang")
+    elif args.collection == "trecweb":
+        from anserini_spark.corpus.trec_ingest import trecweb_corpus
+
+        corpus = trecweb_corpus(spark, args.corpus).select(
+            "url", "text", "lang")
+    elif args.collection == "warc":
+        from pyspark.sql import functions as F
+
+        from anserini_spark.corpus.warc_ingest import warc_corpus
+
+        corpus = warc_corpus(spark, args.corpus).select(
+            F.col("docid").alias("url"), "text", "lang")
+    else:  # json
+        from anserini_spark.corpus.json_ingest import read_json_collection
+
+        corpus = read_json_collection(spark, args.corpus)
     man = build_index(spark, corpus, cfg)
     json.dump(man, sys.stdout, indent=2, default=str)
     print()

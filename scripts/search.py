@@ -17,11 +17,19 @@ from pyspark.sql import SparkSession
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", required=True)
-    ap.add_argument("--topics", required=True, help="tsv qid\\tquery")
+    ap.add_argument("--topics", required=True, help="topics file")
+    ap.add_argument("--topicreader", default="tsv", choices=["tsv", "trec"])
     ap.add_argument("--output", required=True)
     ap.add_argument("--format", default="trec", choices=["trec", "msmarco"])
     ap.add_argument("--hits", type=int, default=1000)
     ap.add_argument("--bm25", default="0.9,0.4")
+    ap.add_argument("--similarity", default="bm25accurate",
+                    choices=["bm25", "bm25accurate", "qld", "qljm", "inl2",
+                             "spl", "f2exp", "f2log"],
+                    help="bm25 = default lossy-norm mode; bm25accurate = "
+                         "exact norms; rest are the -qld/-inl2/... flags")
+    ap.add_argument("--sim-param", type=float, default=None,
+                    help="mu / lambda / c / s for the non-BM25 models")
     ap.add_argument("--engine", default="kernel",
                     choices=["kernel", "dataframe"])
     ap.add_argument("--rm3", action="store_true",
@@ -41,13 +49,42 @@ def main() -> None:
     spark = SparkSession.builder.appName("anserini-search").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     k1, b = (float(x) for x in args.bm25.split(","))
-    searcher = SimpleSearcher(spark, args.index, k1=k1, b=b,
-                              engine=args.engine)
-    if args.rm3:
-        fd, ft, al = args.rm3_params.split(",")
-        searcher.set_rm3(int(fd), int(ft), float(al))
-    topics = read_topics_tsv(spark, args.topics)
-    hits = searcher.batch_search(topics, k=args.hits)
+    if args.topicreader == "trec":
+        from anserini_spark.io.runs import read_trec_topics
+
+        topics = read_trec_topics(args.topics)
+    else:
+        topics = read_topics_tsv(spark, args.topics)
+
+    if args.similarity in ("bm25", "bm25accurate"):
+        searcher = SimpleSearcher(spark, args.index, k1=k1, b=b,
+                                  engine=args.engine,
+                                  lossy=args.similarity == "bm25")
+        if args.rm3:
+            fd, ft, al = args.rm3_params.split(",")
+            searcher.set_rm3(int(fd), int(ft), float(al))
+        hits = searcher.batch_search(topics, k=args.hits)
+    else:
+        from anserini_spark.search.searcher import InvertedIndex
+
+        idx = InvertedIndex(spark, args.index)
+        kw = {}
+        if args.sim_param is not None:
+            kw = {"qld": {"mu": args.sim_param},
+                  "qljm": {"lam": args.sim_param},
+                  "inl2": {"c": args.sim_param},
+                  "spl": {"c": args.sim_param},
+                  "f2exp": {"s": args.sim_param},
+                  "f2log": {"s": args.sim_param}}[args.similarity]
+        if args.similarity in ("qld", "qljm"):
+            from anserini_spark.search.qld import search_qld, search_qljm
+
+            fn = search_qld if args.similarity == "qld" else search_qljm
+        else:
+            from anserini_spark.search import similarities as sims
+
+            fn = getattr(sims, f"search_{args.similarity}")
+        hits = fn(idx, topics, k=args.hits, **kw)
     if args.format == "trec":
         write_trec_run(hits, args.output, tag=args.tag)
     else:
