@@ -5,10 +5,15 @@ consecutive (doc_id, tf) postings of one (term, segment), sorted by
 doc_id, stored as one row:
 
     (term, segment, first_doc, last_doc, n, max_tf, min_dl, sum_tf,
-     docs_bin, tfs_bin)
+     docs_bin, tfs_bin[, pos_bin])
 
 ``docs_bin`` is delta+varint (first delta = 0 against ``first_doc``),
-``tfs_bin`` is varint. ``max_tf``/``min_dl`` give the block-max score
+``tfs_bin`` is varint. ``pos_bin`` (positional indexes,
+``store_positions=True`` — the -storePositions analogue) packs each
+posting's within-doc position list as within-list deltas, varint,
+concatenated in posting order; the per-posting value counts ARE the
+tfs, so no extra length stream is needed.
+``max_tf``/``min_dl`` give the block-max score
 bound for WAND pruning (SURVEY.md §4: per-block max (tf, norm) impact
 metadata). Blocks never span segments, so per-segment scoring tasks
 are self-contained (the Spark analogue of Lucene per-segment search).
@@ -65,14 +70,15 @@ def encode_blocks(
     tfs: np.ndarray,
     doclens: np.ndarray,
     block_size: int = BLOCK_SIZE,
+    positions: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Encode a (term, doc_id)-sorted posting run into block rows.
     Breaks at term/segment/range-bucket changes and every
-    ``block_size`` postings."""
+    ``block_size`` postings. ``positions`` (object array of per-posting
+    position lists, len == tf) adds a ``pos_bin`` column."""
     n = len(doc_ids)
     if n == 0:
-        return pd.DataFrame(
-            {
+        cols = {
                 "term": pd.Series([], dtype=object),
                 "segment": pd.Series([], dtype=np.int32),
                 "first_doc": pd.Series([], dtype=np.int64),
@@ -84,8 +90,10 @@ def encode_blocks(
                 "docs_bin": pd.Series([], dtype=object),
                 "tfs_bin": pd.Series([], dtype=object),
                 "dls_bin": pd.Series([], dtype=object),
-            }
-        )
+        }
+        if positions is not None:
+            cols["pos_bin"] = pd.Series([], dtype=object)
+        return pd.DataFrame(cols)
     terms = np.asarray(terms, dtype=object)
     segments = np.asarray(segments, dtype=np.int64)
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
@@ -127,8 +135,7 @@ def encode_blocks(
     tfs_bin = _slices(tf_buf, tf_nb)
     dls_bin = _slices(dl_buf, dl_nb)
 
-    return pd.DataFrame(
-        {
+    cols = {
             "term": terms[starts],
             "segment": segments[starts].astype(np.int32),
             "first_doc": doc_ids[starts],
@@ -140,8 +147,29 @@ def encode_blocks(
             "docs_bin": docs_bin,
             "tfs_bin": tfs_bin,
             "dls_bin": dls_bin,
-        }
-    )
+    }
+    if positions is not None:
+        # flatten per-posting position lists; within-list delta encode
+        sizes = tfs  # invariant: len(positions[i]) == tfs[i]
+        flat = (
+            np.concatenate([np.asarray(p, dtype=np.int64)
+                            for p in positions])
+            if n else np.empty(0, dtype=np.int64)
+        )
+        list_starts = np.zeros(n, dtype=np.int64)
+        list_starts[1:] = np.cumsum(sizes)[:-1]
+        deltas_p = flat.copy()
+        deltas_p[1:] -= flat[:-1]
+        deltas_p[list_starts] = flat[list_starts]  # absolute first position
+        pos_buf, pos_nb = _varint_bytes(deltas_p.astype(np.uint64))
+        # bytes per posting -> bytes per block
+        per_post = np.add.reduceat(pos_nb, list_starts)
+        per_post[sizes == 0] = 0
+        off = np.zeros(len(starts) + 1, dtype=np.int64)
+        off[1:] = np.cumsum(np.add.reduceat(per_post, starts))
+        raw = pos_buf.tobytes()
+        cols["pos_bin"] = [raw[off[i]:off[i + 1]] for i in range(len(starts))]
+    return pd.DataFrame(cols)
 
 
 def decode_block_run(
@@ -178,3 +206,25 @@ def decode_block_run(
     deltas[starts] = first_docs - prev_last
     doc_ids = np.cumsum(deltas, dtype=np.int64)
     return doc_ids, tfs, dls
+
+
+def decode_positions_run(
+    pos_bins: Sequence[bytes],
+    tfs: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a block run's ``pos_bin`` into (flat_positions,
+    list_starts): ``flat_positions[list_starts[i]:list_starts[i] +
+    tfs[i]]`` is posting i's ascending position list."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    total = int(tfs.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64), np.zeros(len(tfs), dtype=np.int64)
+    deltas = varint_decode(b"".join(pos_bins), total).astype(np.int64)
+    list_starts = np.zeros(len(tfs), dtype=np.int64)
+    list_starts[1:] = np.cumsum(tfs)[:-1]
+    # un-delta: global cumsum, then subtract the carry-in before each list
+    cum = np.cumsum(deltas)
+    carry = np.zeros(len(tfs), dtype=np.int64)
+    carry[1:] = cum[list_starts[1:] - 1]
+    flat = cum - np.repeat(carry, tfs)
+    return flat, list_starts

@@ -102,6 +102,14 @@ BLOCKS_SCHEMA = T.StructType(
     ]
 )
 
+_POS_BIN_FIELD = T.StructField("pos_bin", T.BinaryType(), False)
+
+
+def blocks_schema(store_positions: bool) -> T.StructType:
+    if not store_positions:
+        return BLOCKS_SCHEMA
+    return T.StructType(BLOCKS_SCHEMA.fields + [_POS_BIN_FIELD])
+
 
 @dataclass
 class IndexConfig:
@@ -236,6 +244,7 @@ def _assign_ids_kernel(store_positions: bool = False):
 
 def _blocks_kernel(cfg: IndexConfig):
     block_size = cfg.block_size
+    store_pos = cfg.store_positions
 
     def encode_df(df: pd.DataFrame) -> pd.DataFrame:
         return encode_blocks(
@@ -245,6 +254,8 @@ def _blocks_kernel(cfg: IndexConfig):
             df["tf"].to_numpy(),
             df["doclen"].to_numpy(),
             block_size,
+            positions=(df["pos"].to_numpy(dtype=object)
+                       if store_pos else None),
         )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -374,27 +385,42 @@ def build_index(spark: SparkSession, corpus: DataFrame, cfg: IndexConfig) -> dic
         )
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
                        str(cfg.extra.get("blocks_arrow_batch", 100_000)))
-        postings = (
-            docvec.select(
-                "doc_id",
-                "segment",
-                "doclen",
-                F.explode(F.arrays_zip("terms", "tfs")).alias("e"),
+        if cfg.store_positions:
+            # positional postings: positions ride the shuffle so the
+            # block files carry pos_bin (SDM's kernel path needs it)
+            exploded = docvec.select(
+                "doc_id", "segment", "doclen",
+                F.explode(F.arrays_zip("terms", "tfs", "positions"))
+                .alias("e"),
+            ).select(
+                F.col("e.terms").alias("term"),
+                F.col("segment"),
+                F.col("doc_id"),
+                F.col("e.tfs").alias("tf"),
+                F.col("doclen"),
+                F.col("e.positions").alias("pos"),
             )
-            .select(
+        else:
+            exploded = docvec.select(
+                "doc_id", "segment", "doclen",
+                F.explode(F.arrays_zip("terms", "tfs")).alias("e"),
+            ).select(
                 F.col("e.terms").alias("term"),
                 F.col("segment"),
                 F.col("doc_id"),
                 F.col("e.tfs").alias("tf"),
                 F.col("doclen"),
             )
+        postings = (
+            exploded
             .repartition(
                 cfg.block_partitions,
                 F.col("term"),
                 F.shiftright(F.col("doc_id"), RANGE_SHIFT),
             )
             .sortWithinPartitions("term", "doc_id")
-            .mapInPandas(_blocks_kernel(cfg), schema=BLOCKS_SCHEMA)
+            .mapInPandas(_blocks_kernel(cfg),
+                         schema=blocks_schema(cfg.store_positions))
         )
         from pyspark.sql import Observation
 

@@ -32,7 +32,8 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from .blocks import RANGE_SHIFT
-from .build import IndexConfig, _Manifest, _blocks_kernel, _dir_bytes, BLOCKS_SCHEMA
+from .build import (IndexConfig, _Manifest, _blocks_kernel, _dir_bytes,
+                    blocks_schema)
 
 SLICE_SHIFT = 16  # segment' = (slice << SLICE_SHIFT) | segment
 
@@ -99,19 +100,31 @@ def merge_indexes(spark: SparkSession, slice_dirs: list[str], cfg: IndexConfig) 
 
     if not man.done("blocks"):
         t0 = time.time()
-        postings = (
-            docvec.select(
+        has_pos = "positions" in docvec.columns and cfg.store_positions
+        if has_pos:
+            exploded = docvec.select(
+                "doc_id", "segment", "doclen",
+                F.explode(F.arrays_zip("terms", "tfs", "positions"))
+                .alias("e"),
+            ).select(
+                F.col("e.terms").alias("term"), "segment", "doc_id",
+                F.col("e.tfs").alias("tf"), "doclen",
+                F.col("e.positions").alias("pos"),
+            )
+        else:
+            exploded = docvec.select(
                 "doc_id", "segment", "doclen",
                 F.explode(F.arrays_zip("terms", "tfs")).alias("e"),
-            )
-            .select(
+            ).select(
                 F.col("e.terms").alias("term"), "segment", "doc_id",
                 F.col("e.tfs").alias("tf"), "doclen",
             )
+        postings = (
+            exploded
             .repartition(cfg.block_partitions, F.col("term"),
                          F.shiftright(F.col("doc_id"), RANGE_SHIFT))
             .sortWithinPartitions("term", "doc_id")
-            .mapInPandas(_blocks_kernel(cfg), schema=BLOCKS_SCHEMA)
+            .mapInPandas(_blocks_kernel(cfg), schema=blocks_schema(has_pos))
         )
         postings.write.mode("overwrite").parquet(blocks_path)
         wall = time.time() - t0

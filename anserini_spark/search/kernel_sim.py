@@ -171,7 +171,9 @@ def search_kernel_similarity(
     if not boosts:
         return index.spark.createDataFrame([], empty)
     seg_counts = {int(s): int(c) for s, c in index.stats["segments"].items()}
-    blocks = index.blocks.filter(F.col("term").isin(sorted(shape_fns)))
+    blocks = index.blocks.select(
+        "term", "segment", "first_doc", "last_doc", "n", "max_tf", "min_dl", "sum_tf", "docs_bin", "tfs_bin", "dls_bin"
+    ).filter(F.col("term").isin(sorted(shape_fns)))
     fn = _segment_score_fn(boosts, (0.0, 0.0, False), seg_counts, k, prune,
                            shape_fns=shape_fns)
     hits = blocks.groupBy("segment").applyInPandas(

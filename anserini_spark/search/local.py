@@ -78,8 +78,13 @@ class LocalSearcher:
         if preload:
             self._preload()
 
+    _BLOCK_COLS = ["term", "segment", "first_doc", "last_doc", "n",
+                   "max_tf", "min_dl", "sum_tf", "docs_bin", "tfs_bin",
+                   "dls_bin"]
+
     def _preload(self) -> None:
-        tbl = self._blocks.to_table().to_pandas()
+        # column-pruned: pos_bin (positional indexes) is never read here
+        tbl = self._blocks.to_table(columns=self._BLOCK_COLS).to_pandas()
         tbl = tbl.sort_values(["term", "segment", "first_doc"],
                               kind="mergesort").reset_index(drop=True)
         self._pre = tbl
@@ -117,7 +122,7 @@ class LocalSearcher:
                 return self._pre.iloc[:0]
             return pd.concat(parts)
         return self._blocks.to_table(
-            filter=ds.field("term").isin(terms)
+            filter=ds.field("term").isin(terms), columns=self._BLOCK_COLS
         ).to_pandas().sort_values(["term", "segment", "first_doc"],
                                   kind="mergesort")
 

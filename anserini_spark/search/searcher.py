@@ -495,7 +495,11 @@ def search_kernel(
             [], "qid int, docid string, rank int, score double"
         )
     seg_counts = {int(s): int(c) for s, c in index.stats["segments"].items()}
-    blocks = index.blocks.filter(F.col("term").isin(all_terms))
+    # column-pruned: positional indexes carry pos_bin, which BM25
+    # scoring never reads — keep it out of the parquet scan
+    blocks = index.blocks.select(
+        "term", "segment", "first_doc", "last_doc", "n", "max_tf", "min_dl", "sum_tf", "docs_bin", "tfs_bin", "dls_bin"
+    ).filter(F.col("term").isin(all_terms))
     fn = _segment_score_fn(
         {qid: dict(wmap) for qid, wmap in weights.items()},
         (float(scorer.cache1), float(scorer.cache2), params.lossy),

@@ -125,3 +125,28 @@ def test_sdm_requires_positions(spark, tiny_index):
     idx = InvertedIndex(spark, tiny_index)
     with pytest.raises(ValueError):
         search_sdm(idx, {1: "spark join"}, BM25Params(k=5))
+
+
+def test_sdm_kernel_matches_dataframe(spark, pos_index):
+    """Rank+score identity between the positional-blocks kernel engine
+    and the declarative oracle path."""
+    idx = InvertedIndex(spark, pos_index)
+    p = BM25Params(k=25)
+    q = dict(QUERIES)
+    q[4] = "spark spark merge"  # duplicate-term bag boost + same-term pair
+
+    def rows(df):
+        return [(r["qid"], r["docid"], r["rank"],
+                 round(float(r["score"]), 9)) for r in df.collect()]
+
+    kern = rows(search_sdm(idx, q, p, engine="kernel"))
+    dfrm = rows(search_sdm(idx, q, p, engine="dataframe"))
+    assert kern == dfrm
+
+
+def test_sdm_kernel_plan_is_term_pruned(spark, pos_index):
+    idx = InvertedIndex(spark, pos_index)
+    plan = (search_sdm(idx, {1: "spark merge"}, BM25Params(k=5))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "blocks" in plan
+    assert "arrays_zip" not in plan  # no positional docvec explode
