@@ -120,10 +120,14 @@ def build_impact_index(
 
 def search_impact(
     index, queries: Dict[int, Dict[str, float]], k: int = 1000,
-    precision: int | None = None,
+    precision: int | None = None, engine: str = "kernel",
 ) -> DataFrame:
     """Dot-product retrieval over the impact index. ``queries``:
-    qid -> {latent term: query activation}."""
+    qid -> {latent term: query activation}. Default engine scores
+    through the term-pruned block kernel (the tf slot carries the
+    quantized activation; shape = tf/scale, so MaxScore's block
+    max_tf bound applies unchanged); ``engine="dataframe"`` keeps the
+    declarative full-docvec plan as the oracle."""
     spark = index.spark
     p = precision
     if p is None:
@@ -140,6 +144,31 @@ def search_impact(
         return spark.createDataFrame(
             [], "qid int, docid string, rank int, score double"
         )
+    if engine == "kernel":
+        import numpy as np
+
+        from ..search.searcher import _finalize, _segment_score_fn
+
+        def _shape(tf, dl, _scale=scale):
+            return tf.astype(np.float64) / _scale
+
+        boosts: Dict[int, Dict[str, float]] = {}
+        for qid, t, v in rows:
+            boosts.setdefault(qid, {})[t] = v
+        all_terms = sorted({t for m in boosts.values() for t in m})
+        shape_fns = {t: _shape for t in all_terms}
+        seg_counts = {int(sg): int(c)
+                      for sg, c in index.stats["segments"].items()}
+        blocks = index.blocks.select(
+            "term", "segment", "first_doc", "last_doc", "n", "max_tf",
+            "min_dl", "sum_tf", "docs_bin", "tfs_bin", "dls_bin",
+        ).filter(F.col("term").isin(all_terms))
+        fn = _segment_score_fn(boosts, (0.0, 0.0, False), seg_counts, k,
+                               prune=True, shape_fns=shape_fns)
+        hits = blocks.groupBy("segment").applyInPandas(
+            fn, schema="qid int, doc_id long, score double"
+        )
+        return _finalize(index, hits, k)
     q = spark.createDataFrame(rows, "qid int, term string, qval double")
     postings = index.docvec.select(
         "doc_id", F.explode(F.arrays_zip("terms", "tfs")).alias("e")

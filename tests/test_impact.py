@@ -78,3 +78,16 @@ def test_impact_index_stats(spark, impact_index):
     # dictionary terms are latent dims
     terms = [r["term"] for r in idx.dictionary.collect()]
     assert all(t.isdigit() and len(t) == 5 for t in terms)
+
+
+def test_impact_kernel_matches_dataframe(spark, impact_index):
+    out, _rows = impact_index
+    idx = InvertedIndex(spark, out)
+    q = dict(QUERIES)
+
+    def rows(df):
+        return [(r["qid"], r["docid"], r["rank"],
+                 round(float(r["score"]), 9)) for r in df.collect()]
+
+    assert rows(search_impact(idx, q, k=20, engine="kernel")) == \
+        rows(search_impact(idx, q, k=20, engine="dataframe"))
