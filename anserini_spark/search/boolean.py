@@ -10,10 +10,12 @@ Reference semantics (`BooleanQuery.Builder` usage,
 * FILTER    — intersection without scoring
 
 Spark mapping: one broadcast join of clause terms against the flat
-postings, then a conditional aggregate per (qid, doc): score sums
-SHOULD+MUST contributions, HAVING counts enforce
-matched-MUST == |MUST|, matched-FILTER == |FILTER|, matched-MUST_NOT
-== 0 — set algebra as groupBy, no joins per clause.
+postings (decoded from the term-pruned block scan — O(matching
+postings), never an explode of the whole docvec), then a conditional
+aggregate per (qid, doc): score sums SHOULD+MUST contributions,
+HAVING counts enforce matched-MUST == |MUST|, matched-FILTER ==
+|FILTER|, matched-MUST_NOT == 0 — set algebra as groupBy, no joins
+per clause.
 """
 
 from __future__ import annotations
@@ -84,11 +86,10 @@ def search_boolean(
     req = spark.createDataFrame(
         must_counts, "qid int, n_must int, n_filter int, req_should int"
     )
-    postings = index.docvec.select(
-        "doc_id", "doclen", F.explode(F.arrays_zip("terms", "tfs")).alias("e")
-    ).select(
-        F.col("e.terms").alias("term"), "doc_id",
-        F.col("e.tfs").alias("tf"), "doclen",
+    from .searcher import postings_from_blocks
+
+    postings = postings_from_blocks(
+        index, sorted({t for _, t, _, _ in rows})
     )
     tf = F.col("tf").cast("float")
     dl = F.col("doclen").cast("float")

@@ -511,6 +511,54 @@ def search_kernel(
     return _finalize(index, hits, params.k)
 
 
+POSTINGS_SCHEMA = "term string, doc_id long, tf long, doclen long"
+
+
+def postings_from_blocks(index: InvertedIndex,
+                         terms: List[str]) -> DataFrame:
+    """Decoded flat postings ``(term, doc_id, tf, doclen)`` for the
+    given terms via the term-pruned ``blocks.parquet`` scan — the
+    scale-safe replacement for exploding the docvec posting arrays
+    (O(matching postings), not O(corpus)). Blocks decode independently
+    (each block's delta chain starts at its own ``first_doc``), so no
+    grouping shuffle is needed — one Arrow pass over the pruned scan."""
+    if not terms:
+        return index.spark.createDataFrame([], POSTINGS_SCHEMA)
+    blocks = index.blocks.select(
+        "term", "segment", "first_doc", "last_doc", "n",
+        "docs_bin", "tfs_bin", "dls_bin",
+    ).filter(F.col("term").isin(sorted(set(terms))))
+
+    def decode(batches):
+        for b in batches:
+            if len(b) == 0:
+                continue
+            b = b.sort_values(["term", "segment", "first_doc"],
+                              kind="mergesort")
+            out_t: List[np.ndarray] = []
+            out_d: List[np.ndarray] = []
+            out_f: List[np.ndarray] = []
+            out_l: List[np.ndarray] = []
+            for (t, _seg), g in b.groupby(["term", "segment"], sort=False):
+                docs, tfs, dls = decode_block_run(
+                    list(g["docs_bin"]), list(g["tfs_bin"]),
+                    list(g["dls_bin"]), g["n"].to_numpy(),
+                    g["first_doc"].to_numpy(), g["last_doc"].to_numpy(),
+                )
+                out_t.append(np.full(len(docs), t, dtype=object))
+                out_d.append(docs)
+                out_f.append(tfs)
+                out_l.append(dls)
+            yield pd.DataFrame({
+                "term": np.concatenate(out_t),
+                "doc_id": np.concatenate(out_d),
+                "tf": np.concatenate(out_f),
+                "doclen": np.concatenate(out_l),
+            })
+
+    return blocks.mapInPandas(decode, schema=POSTINGS_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # SimpleSearcher-shaped API
 # ---------------------------------------------------------------------------

@@ -93,3 +93,14 @@ def test_must_not_excludes(spark, tiny_index):
         BM25Params(k=100),
     ).collect()
     assert 0 < len(excl) < len(plain)
+
+
+def test_boolean_plan_is_term_pruned(spark, tiny_index):
+    """Boolean queries must read the term-pruned block scan, not
+    explode the whole docvec posting table."""
+    idx = InvertedIndex(spark, tiny_index)
+    df = search_boolean(idx, {1: {"should": ["spark"], "filter": ["merge"]}},
+                        BM25Params(k=5))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "arrays_zip" not in plan
+    assert "blocks" in plan
