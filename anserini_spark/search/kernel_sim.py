@@ -150,18 +150,13 @@ def search_kernel_similarity(
     empty = "qid int, docid string, rank int, score double"
     if not all_terms:
         return index.spark.createDataFrame([], empty)
-    stat_rows = (
-        index.dictionary.filter(F.col("term").isin(all_terms))
-        .select("term", "df", "cf")
-        .collect()
-    )
+    stats = index.term_stats(all_terms)  # driver-side pyarrow lookup
     n = float(index.stats["doc_count"])
     avgdl = float(index.stats["avgdl"])
     sum_tf = float(index.stats["sum_tf"])
     shape_fns = {
-        r["term"]: builder(int(r["df"]), int(r["cf"]), n, avgdl, sum_tf,
-                           **params)
-        for r in stat_rows
+        t: builder(df, cf, n, avgdl, sum_tf, **params)
+        for t, (df, cf) in stats.items()
     }
     boosts = {
         qid: {t: float(cnt) for t, cnt in c.items() if t in shape_fns}

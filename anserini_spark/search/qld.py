@@ -83,12 +83,7 @@ def _lm_search(index: InvertedIndex, queries: Dict[int, str], contrib_fn,
         return spark.createDataFrame(
             [], "qid int, docid string, rank int, score double"
         )
-    cf_rows = (
-        index.dictionary.filter(F.col("term").isin(all_terms))
-        .select("term", "cf")
-        .collect()
-    )
-    cfs = {r["term"]: int(r["cf"]) for r in cf_rows}
+    cfs = {t: cf for t, (_df, cf) in index.term_stats(all_terms).items()}
     rows = [
         # (cf+1)/(sum+1): Lucene DefaultCollectionModel smoothing
         (qid, t, float(cnt), (cfs[t] + 1.0) / (sum_tf + 1.0))

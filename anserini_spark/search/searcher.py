@@ -71,6 +71,7 @@ class InvertedIndex:
         self._cache = cache
         self._cache_blocks = cache_blocks
         self._dfs: Dict[str, DataFrame] = {}
+        self._dict_ds = None  # lazy pyarrow dataset for term_stats
 
     def _load(self, name: str, do_cache: bool) -> DataFrame:
         if name not in self._dfs:
@@ -118,16 +119,43 @@ class InvertedIndex:
             return [w for w in (text or "").split() if w]
         return analyze(text or "", stem=stem_mode(self.analyzer))
 
-    def term_dfs(self, terms: Iterable[str]) -> Dict[str, int]:
+    def term_stats(self, terms: Iterable[str]) -> Dict[str, Tuple[int, int]]:
+        """term -> (df, cf). The dictionary is tiny relative to the
+        index and term-range-sorted, so this reads it driver-side via
+        pyarrow row-group pruning — no Spark job on the per-query hot
+        path (the analogue of Lucene's in-memory term dictionary).
+        Falls back to a Spark scan for non-local index stores."""
         terms = sorted(set(terms))
         if not terms:
             return {}
-        rows = (
-            self.dictionary.filter(F.col("term").isin(terms))
-            .select("term", "df")
-            .collect()
-        )
-        return {r["term"]: int(r["df"]) for r in rows}
+        try:
+            import pyarrow.dataset as ds
+
+            if self._dict_ds is None:
+                self._dict_ds = ds.dataset(
+                    os.path.join(self.dir, "dictionary.parquet"),
+                    format="parquet",
+                )
+            t = self._dict_ds.to_table(
+                filter=ds.field("term").isin(terms),
+                columns=["term", "df", "cf"],
+            )
+            return {
+                t_: (int(d), int(c))
+                for t_, d, c in zip(t["term"].to_pylist(),
+                                    t["df"].to_pylist(),
+                                    t["cf"].to_pylist())
+            }
+        except Exception:
+            rows = (
+                self.dictionary.filter(F.col("term").isin(terms))
+                .select("term", "df", "cf")
+                .collect()
+            )
+            return {r["term"]: (int(r["df"]), int(r["cf"])) for r in rows}
+
+    def term_dfs(self, terms: Iterable[str]) -> Dict[str, int]:
+        return {t: df for t, (df, _cf) in self.term_stats(terms).items()}
 
 
 def _query_weights(
