@@ -184,3 +184,25 @@ def trecweb_corpus(spark: SparkSession, path: str,
                 yield pd.DataFrame(rows)
 
     return files.mapInPandas(split, schema=TREC_SCHEMA)
+
+
+def clean_trec_corpus(spark: SparkSession, path: str,
+                      lang: str = "en") -> DataFrame:
+    """CleanTrecCollection analogue (`collection/CleanTrecCollection.java`):
+    identical record parsing to ``trec_corpus``, but contents == raw —
+    NO Jsoup tag stripping (tags are indexed as text)."""
+    files = spark.read.text(path, wholetext=True)
+
+    def split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {"url": [], "text": [], "lang": [], "raw": []}
+            for blob in b["value"]:
+                for docid, raw in parse_trec_file(blob or ""):
+                    rows["url"].append(docid)
+                    rows["text"].append(raw)
+                    rows["lang"].append(lang)
+                    rows["raw"].append(raw)
+            if rows["url"]:
+                yield pd.DataFrame(rows)
+
+    return files.mapInPandas(split, schema=TREC_SCHEMA)

@@ -24,7 +24,8 @@ def main() -> None:
                     help="input path: parquet table, or raw collection "
                          "files when --collection is set")
     ap.add_argument("--collection", default="parquet",
-                    choices=["parquet", "trec", "trecweb", "warc", "json"],
+                    choices=["parquet", "trec", "cleantrec", "trecweb", "warc",
+                             "json"],
                     help="input format (-collection analogue: "
                          "TrecCollection/TrecwebCollection/ClueWeb/"
                          "JsonCollection)")
@@ -59,6 +60,11 @@ def main() -> None:
         from anserini_spark.corpus.trec_ingest import trec_corpus
 
         corpus = trec_corpus(spark, args.corpus).select("url", "text", "lang")
+    elif args.collection == "cleantrec":
+        from anserini_spark.corpus.trec_ingest import clean_trec_corpus
+
+        corpus = clean_trec_corpus(spark, args.corpus).select(
+            "url", "text", "lang")
     elif args.collection == "trecweb":
         from anserini_spark.corpus.trec_ingest import trecweb_corpus
 

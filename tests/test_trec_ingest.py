@@ -120,3 +120,21 @@ def test_trecweb_corpus(spark, tmp_path):
     rows = {r["url"]: r["text"] for r in trecweb_corpus(spark, str(seg)).collect()}
     assert rows == {"WEB-0001": "first web page body",
                     "WEB-0003": "third page"}
+
+
+def test_clean_trec_keeps_tags(spark, tmp_path):
+    """CleanTrecCollection contract: contents == raw, tags NOT
+    stripped (`CleanTrecCollection.java:25-55`)."""
+    from anserini_spark.corpus.trec_ingest import clean_trec_corpus
+
+    seg = tmp_path / "clean1.txt"
+    seg.write_text(
+        "<DOC>\n<DOCNO>doc1</DOCNO>\n<TEXT>\n"
+        "a bit of text, and the <p>tags should not be removed.</p>\n"
+        "</TEXT>\n</DOC>\n"
+        '<DOC id="doc2">\n<TEXT>\nhere is some text.\n</TEXT>\n</DOC>\n'
+    )
+    rows = {r["url"]: r["text"] for r in clean_trec_corpus(spark, str(seg)).collect()}
+    assert set(rows) == {"doc1", "doc2"}
+    assert "<p>tags should not be removed.</p>" in rows["doc1"]
+    assert rows["doc2"] == "<TEXT>\nhere is some text.\n</TEXT>"
