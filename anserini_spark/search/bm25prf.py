@@ -49,13 +49,25 @@ def bm25prf_boosts(
     fb_docs: int = 10,
     fb_terms: int = 20,
 ) -> Dict[int, Dict[str, float]]:
+    # tiny fb-doc set -> url IN (...) pushdown filter (row-group
+    # pruning on the url-sorted docvec; a join could not prune)
     top = first_pass.filter(F.col("rank") <= fb_docs).select(
         "qid", F.col("docid").alias("url")
-    )
-    rows = top.join(index.docvec.select("url", "terms"), "url").collect()
+    ).collect()
+    by_url: Dict[str, list] = defaultdict(list)
+    for r in top:
+        by_url[r["url"]].append(int(r["qid"]))
     fb_sets: Dict[int, list] = defaultdict(list)
-    for r in rows:
-        fb_sets[r["qid"]].append(set(r["terms"]))
+    if by_url:
+        rows = (
+            index.docvec.select("url", "terms")
+            .filter(F.col("url").isin(sorted(by_url)))
+            .collect()
+        )
+        for r in rows:
+            tset = set(r["terms"])
+            for qid in by_url[r["url"]]:
+                fb_sets[qid].append(tset)
     cand = {
         t
         for sets in fb_sets.values()

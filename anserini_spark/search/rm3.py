@@ -42,19 +42,30 @@ _TERM_OK = re.compile(r"^[a-z0-9]+$")
 def _feedback_vectors(
     index: InvertedIndex, first_pass: DataFrame, fb_docs: int
 ) -> Dict[int, list]:
-    """qid -> [(score, {term: tf}, doclen)] for its top fb_docs."""
+    """qid -> [(score, {term: tf}, doclen)] for its top fb_docs.
+
+    The fb-doc set is tiny (fb_docs x |queries|), so it is collected
+    and pushed into the docvec scan as an ``url IN (...)`` filter —
+    docvec files are url-sorted within segments, so parquet row-group
+    min/max pruning applies (a url-keyed JOIN could not prune)."""
     top = first_pass.filter(F.col("rank") <= fb_docs).select(
         "qid", F.col("docid").alias("url"), "score"
-    )
+    ).collect()
+    by_url: Dict[str, list] = defaultdict(list)
+    for r in top:
+        by_url[r["url"]].append((int(r["qid"]), float(r["score"])))
+    if not by_url:
+        return defaultdict(list)
     rows = (
-        top.join(index.docvec.select("url", "doclen", "terms", "tfs"), "url")
+        index.docvec.select("url", "doclen", "terms", "tfs")
+        .filter(F.col("url").isin(sorted(by_url)))
         .collect()
     )
     out: Dict[int, list] = defaultdict(list)
     for r in rows:
-        out[r["qid"]].append(
-            (float(r["score"]), dict(zip(r["terms"], r["tfs"])), int(r["doclen"]))
-        )
+        tfs = dict(zip(r["terms"], r["tfs"]))
+        for qid, score in by_url[r["url"]]:
+            out[qid].append((score, tfs, int(r["doclen"])))
     return out
 
 
