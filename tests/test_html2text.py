@@ -56,3 +56,49 @@ def test_generator_roundtrip_invariant():
         text = " ".join(random.choice(vocab) for _ in range(random.randint(0, 80)))
         html = _render_html(doc_id, text, "en").encode("utf-8")
         assert extract_text(html) == text
+
+
+def test_fast_path_equals_parser_randomized():
+    """The regex fast path must equal the HTMLParser reference
+    implementation on randomized adversarial HTML (or fall back)."""
+    import random
+
+    from anserini_spark.extraction.html2text import (
+        _extract_text_parser,
+        extract_text,
+    )
+
+    random.seed(23)
+    pieces = [
+        "<p>", "</p>", "<div class='a>b'>", "</div>", "<b>", "</b>",
+        "<script>var x = '<p>';</script>", "<style>.x{}</style>",
+        "<!-- a <div> comment -->", "<!DOCTYPE html>", "<br/>",
+        "<img src=x alt=\"y>z\">", "&amp;", "&lt;tag&gt;", "&#65;",
+        "plain words here", "1 < 2", "a > b", "  spaces\t\n ",
+        "<noscript>hidden</noscript>", "<ul><li>x</li></ul>",
+        "<table><tr><td>c</td></tr></table>", "<span>inline</span>",
+        "<!-- unterminated", "<![CDATA[weird]]>", "<?pi data?>",
+        "<p>unclosed", "text<", "<3 hearts",
+    ]
+    for _ in range(300):
+        html = "".join(random.choice(pieces)
+                       for _ in range(random.randint(1, 25)))
+        assert extract_text(html) == _extract_text_parser(html), html
+
+
+def test_fast_path_equals_parser_on_corpus(spark):
+    """Zero divergence across the full synthetic corpus (which
+    deliberately exercises entities, script/style noise, nested
+    inline tags and empty bodies)."""
+    from anserini_spark.corpus.synth import web_corpus
+    from anserini_spark.extraction.html2text import (
+        _extract_text_parser,
+        extract_text,
+    )
+
+    rows = web_corpus(spark, "/root/testdata/sf0.001").collect()
+    for r in rows:
+        if r["html"] is None:
+            continue
+        h = bytes(r["html"]).decode("utf-8", "replace")
+        assert extract_text(h) == _extract_text_parser(h)
