@@ -69,6 +69,10 @@ _POSITIONS_FIELD = T.StructField(
     "positions", T.ArrayType(T.ArrayType(T.IntegerType())), True
 )
 
+# -storeContents analogue: the extracted text rides the docvec so
+# SimpleSearcher.doc(docid) can return stored contents
+_CONTENTS_FIELD = T.StructField("contents", T.StringType(), True)
+
 DOCVEC_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
@@ -81,10 +85,14 @@ DOCVEC_SCHEMA = T.StructType(
 )
 
 
-def docvec_schema(store_positions: bool) -> T.StructType:
-    if not store_positions:
-        return DOCVEC_SCHEMA
-    return T.StructType(DOCVEC_SCHEMA.fields + [_POSITIONS_FIELD])
+def docvec_schema(store_positions: bool,
+                  store_contents: bool = False) -> T.StructType:
+    fields = list(DOCVEC_SCHEMA.fields)
+    if store_positions:
+        fields.append(_POSITIONS_FIELD)
+    if store_contents:
+        fields.append(_CONTENTS_FIELD)
+    return T.StructType(fields)
 
 BLOCKS_SCHEMA = T.StructType(
     [
@@ -126,6 +134,9 @@ class IndexConfig:
     store_positions: bool = False     # -storePositions analogue: docvec
                                       # carries per-term position lists
                                       # (gap-preserving, SDM needs them)
+    store_contents: bool = False      # -storeContents analogue: docvec
+                                      # carries the extracted text for
+                                      # SimpleSearcher.doc()
     extra: dict = field(default_factory=dict)
 
 
@@ -147,10 +158,14 @@ ANALYZED_SCHEMA = T.StructType(
 )
 
 
-def analyzed_schema(store_positions: bool) -> T.StructType:
-    if not store_positions:
-        return ANALYZED_SCHEMA
-    return T.StructType(ANALYZED_SCHEMA.fields + [_POSITIONS_FIELD])
+def analyzed_schema(store_positions: bool,
+                    store_contents: bool = False) -> T.StructType:
+    fields = list(ANALYZED_SCHEMA.fields)
+    if store_positions:
+        fields.append(_POSITIONS_FIELD)
+    if store_contents:
+        fields.append(_CONTENTS_FIELD)
+    return T.StructType(fields)
 
 
 def _analyze_kernel(cfg: IndexConfig):
@@ -169,11 +184,15 @@ def _analyze_kernel(cfg: IndexConfig):
 
         stem = stem_mode(cfg.analyzer)
 
+    store_contents = cfg.store_contents
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             out = {"url": [], "doclen": [], "terms": [], "tfs": []}
             if store_pos:
                 out["positions"] = []
+            if store_contents:
+                out["contents"] = []
             texts = b["html"].map(extract_text) if from_html else b["text"]
             for url, text in zip(b["url"], texts):
                 if from_html and (not text or not text.strip()):
@@ -202,19 +221,24 @@ def _analyze_kernel(cfg: IndexConfig):
                 out["doclen"].append(sum(tfs))
                 out["terms"].append(terms)
                 out["tfs"].append(tfs)
+                if store_contents:
+                    out["contents"].append(text or "")
             if out["url"]:
                 yield pd.DataFrame(out)
 
     return fn
 
 
-def _assign_ids_kernel(store_positions: bool = False):
+def _assign_ids_kernel(store_positions: bool = False,
+                       store_contents: bool = False):
     """Post-sort kernel: duplicate-url drop (sorted => adjacent, cf.
     `IndexCollection.java:213-215`) + (segment << 40 | row) id
     assignment by sorted position."""
     cols = ["doc_id", "url", "segment", "doclen", "terms", "tfs"]
     if store_positions:
         cols = cols + ["positions"]
+    if store_contents:
+        cols = cols + ["contents"]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -350,11 +374,14 @@ def build_index(spark: SparkSession, corpus: DataFrame, cfg: IndexConfig) -> dic
         df = (
             df.select("url", src)
             .mapInPandas(_analyze_kernel(cfg),
-                         schema=analyzed_schema(cfg.store_positions))
+                         schema=analyzed_schema(cfg.store_positions,
+                                                cfg.store_contents))
             .repartition(cfg.doc_partitions, "url")
             .sortWithinPartitions("url")
-            .mapInPandas(_assign_ids_kernel(cfg.store_positions),
-                         schema=docvec_schema(cfg.store_positions))
+            .mapInPandas(_assign_ids_kernel(cfg.store_positions,
+                                            cfg.store_contents),
+                         schema=docvec_schema(cfg.store_positions,
+                                              cfg.store_contents))
             .observe(obs, F.count(F.lit(1)).alias("docs"))
         )
         df.write.mode("overwrite").parquet(docvec_path)

@@ -78,6 +78,8 @@ def merge_indexes(spark: SparkSession, slice_dirs: list[str], cfg: IndexConfig) 
             # so SDM keeps working on the merged index
             if "positions" in dv.columns:
                 cols.append(F.col("positions"))
+            if "contents" in dv.columns:  # -storeContents analogue
+                cols.append(F.col("contents"))
             parts.append(dv.select(*cols))
         if len(has_pos) > 1:
             raise ValueError(

@@ -636,3 +636,15 @@ class SimpleSearcher:
     def search(self, query: str, k: int = 10) -> List[Tuple[str, int, float]]:
         df = self.batch_search({0: query}, k=k)
         return [(r["docid"], r["rank"], r["score"]) for r in df.collect()]
+
+    def doc(self, docid: str) -> Optional[str]:
+        """Stored contents for a docid — the `SimpleSearcher.document`
+        analogue (`SimpleSearcher.java:400-476`). Returns None when
+        the index was built without ``store_contents=True``. The
+        equality filter pushes into the url-sorted docvec scan."""
+        dv = self.index.docvec
+        if "contents" not in dv.columns:
+            return None
+        rows = (dv.select("url", "contents")
+                .filter(F.col("url") == docid).take(1))
+        return rows[0]["contents"] if rows else None

@@ -125,3 +125,23 @@ def test_bm25_index_topk_matches_corpus_recompute(spark):
                   for r in bm25_topk(spark, sf)
                   .orderBy("qid", "rank").collect()]
     assert via_index == via_corpus
+
+
+def test_store_contents_doc_fetch(spark, tmp_path):
+    """-storeContents analogue: SimpleSearcher.doc returns the stored
+    extracted text; plain indexes return None."""
+    from anserini_spark.corpus.synth import web_corpus
+    from anserini_spark.index.build import IndexConfig, build_index
+    from anserini_spark.search.searcher import SimpleSearcher
+
+    corpus = web_corpus(spark, "/root/testdata/sf0.001")
+    out = str(tmp_path / "cidx")
+    build_index(spark, corpus, IndexConfig(out_dir=out, doc_partitions=2,
+                                           block_partitions=2,
+                                           store_contents=True))
+    s = SimpleSearcher(spark, out)
+    docid, _, _ = s.search("spark merge", k=1)[0]
+    stored = s.doc(docid)
+    want = {r["url"]: r["text"] for r in corpus.collect()}[docid]
+    assert stored == want
+    assert s.doc("https://nonexistent.example/x") is None
