@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "cosine_topk": sim.cosine_topk,
         "ann_lsh_topk": sim.ann_lsh_topk,              # rows-only
+        "ann_ivf_topk": sim.ann_ivf_topk,              # rows-only
         "embedding_neardup_pairs": sim.embedding_neardup_pairs,
         "embedding_neardup_lsh": sim.embedding_neardup_lsh,  # rows-only
         # events

@@ -249,3 +249,86 @@ WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4)
       >= {NEARDUP_THRESHOLD}
 """,
     }
+
+
+IVF_NLIST = 16
+IVF_NPROBE = 4
+
+
+def _kmeans(sample: "np.ndarray", nlist: int, iters: int = 12,
+            seed: int = PLANE_SEED) -> "np.ndarray":
+    """Deterministic Lloyd k-means on a driver-side sample (the coarse
+    quantizer training step of an IVF index). O(sample x nlist) —
+    the sample is bounded, never the corpus."""
+    rng = np.random.default_rng(seed)
+    n = len(sample)
+    centroids = sample[rng.choice(n, size=min(nlist, n), replace=False)]
+    for _ in range(iters):
+        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(centroids)):
+            m = assign == c
+            if m.any():
+                centroids[c] = sample[m].mean(axis=0)
+    return centroids
+
+
+def _cell_udf(centroids: "np.ndarray"):
+    """array<float> -> nearest-centroid id; one matmul per Arrow batch
+    (||x-c||^2 = ||x||^2 - 2x.c + ||c||^2; ||x||^2 constant per row)."""
+    c = centroids.astype(np.float64)
+    c_norm = (c ** 2).sum(axis=1)
+
+    @pandas_udf("int")
+    def cell(emb: pd.Series) -> pd.Series:
+        m = np.vstack(emb.to_numpy()).astype(np.float64)
+        scores = m @ c.T - 0.5 * c_norm  # argmin of -2x.c + ||c||^2
+        return pd.Series(scores.argmax(axis=1).astype(np.int32))
+
+    return cell
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str,
+                 emb: DataFrame | None = None,
+                 nlist: int = IVF_NLIST, nprobe: int = IVF_NPROBE,
+                 sample_n: int = 4096) -> DataFrame:
+    """IVF approximate top-10 vs vec_id=0: a coarse k-means quantizer
+    (trained on a bounded deterministic sample) partitions vectors
+    into cells; the query probes its ``nprobe`` nearest cells and
+    exact cosine re-ranks only those candidates. The second scale
+    path beside ``ann_lsh_topk``: candidate volume ~ nprobe/nlist of
+    the corpus, and the cell assignment is one matmul per Arrow
+    batch."""
+    e = emb if emb is not None else _emb(spark, sf_dir)
+    e = e.select("vec_id", "embedding")
+    sample = np.array(
+        [r["embedding"] for r in
+         e.orderBy("vec_id").limit(sample_n).collect()],
+        dtype=np.float64,
+    )
+    centroids = _kmeans(sample, nlist)
+    cell = _cell_udf(centroids)
+    cells = e.withColumn("cell", cell(F.col("embedding")))
+
+    q = e.filter(F.col("vec_id") == 0).first()
+    qv = np.array(q["embedding"], dtype=np.float64)
+    d = ((centroids - qv[None, :]) ** 2).sum(axis=1)
+    probe = [int(c) for c in d.argsort()[:nprobe]]
+
+    qdf = spark.createDataFrame(
+        [([float(x) for x in qv],)], "q_embedding array<float>"
+    )
+    scored = (
+        cells.filter(F.col("vec_id") > 0)
+        .filter(F.col("cell").isin(probe))
+        .crossJoin(F.broadcast(qdf))
+        .select(
+            "vec_id",
+            F.round(
+                _dot(F.col("embedding"), F.col("q_embedding"))
+                / (_norm(F.col("embedding")) * _norm(F.col("q_embedding"))),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    return _ranked_topk(scored)

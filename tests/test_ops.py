@@ -193,3 +193,32 @@ def test_embedding_neardup_oracle_query_runs(spark):
     for r in rows:
         assert r["doc_a"] < r["doc_b"]
         assert r["cosine"] >= 0.4
+
+
+def test_ann_ivf_recall_and_agreement(spark):
+    """IVF path: exact cosines on the candidates it returns, decent
+    recall@10 vs brute force on the testdata, and high recall on the
+    clustered dim-256 fixture."""
+    import numpy as np
+    from anserini_spark.ops.similarity import ann_ivf_topk, cosine_topk
+
+    brute = {r["vec_id"]: r["cosine"] for r in cosine_topk(spark, SF).collect()}
+    ivf = {r["vec_id"]: r["cosine"] for r in ann_ivf_topk(spark, SF).collect()}
+    for vid, cos in ivf.items():
+        if vid in brute:
+            assert abs(cos - brute[vid]) < 1e-9
+    assert len(set(ivf) & set(brute)) >= 3
+
+    rng = np.random.default_rng(7)
+    dim, n = 256, 400
+    centers = rng.standard_normal((4, dim))
+    rows = []
+    for i in range(n):
+        v = centers[i % 4] + 0.3 * rng.standard_normal(dim)
+        rows.append((i, [float(x) for x in v], i % 4))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    ann = {r["vec_id"] for r in ann_ivf_topk(spark, "", emb=e).collect()}
+    m = np.array([r[1] for r in rows]); q = m[0]
+    cos = (m[1:] @ q) / (np.linalg.norm(m[1:], axis=1) * np.linalg.norm(q))
+    brute_top = set((np.argsort(-cos)[:10] + 1).tolist())
+    assert len(ann & brute_top) >= 7, (ann, brute_top)
