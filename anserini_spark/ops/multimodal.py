@@ -2,12 +2,13 @@
 opaque ``binary`` columns with typed metadata, processed by
 Arrow-batched ``mapInPandas`` kernels.
 
-The decode step is STUBBED (image/audio libraries are not available in
-this container): ``decode_image`` raises NotImplementedError unless
-``fake=True``, in which case a deterministic fake decoder (payload
-bytes -> pseudo dimensions/features) exercises the real Spark-side
-plumbing — schema, batching, partitioning, UDF signatures — which is
-what the tests pin.
+Decoding: PPM (P6) images decode FOR REAL (pure numpy header+raster
+parse — no imaging library needed), with a 4x4 mean-pooled grayscale
+grid as the 16-dim feature. Compressed formats (JPEG/PNG/...) raise
+NotImplementedError — those codecs are not available in this
+container — and ``fake=True`` substitutes a deterministic pseudo
+decoder so the Spark-side plumbing (schema, batching, partitioning,
+UDF signatures) is exercised end-to-end either way.
 """
 
 from __future__ import annotations
@@ -41,32 +42,89 @@ FEATURES_SCHEMA = T.StructType(
 )
 
 
-def synth_media(spark: SparkSession, n: int = 64) -> DataFrame:
-    """Deterministic fake media table (payload = seeded bytes)."""
+def _synth_ppm(i: int) -> bytes:
+    """Deterministic small P6 image (seeded pixels)."""
+    rng = np.random.default_rng(i)
+    w, h = int(rng.integers(8, 33)), int(rng.integers(8, 33))
+    raster = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    return f"P6\n{w} {h}\n255\n".encode() + raster.tobytes()
+
+
+def synth_media(spark: SparkSession, n: int = 64,
+                real_images: bool = False) -> DataFrame:
+    """Deterministic media table; ``real_images=True`` gives image
+    rows actual PPM payloads (decodable), else opaque seeded bytes."""
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             ids = b["id"].to_numpy()
+            kinds = [["image", "audio", "video"][int(i) % 3] for i in ids]
+            payloads = []
+            mimes = []
+            for i, kind in zip(ids, kinds):
+                if real_images and kind == "image":
+                    payloads.append(_synth_ppm(int(i)))
+                    mimes.append("image/x-portable-pixmap")
+                else:
+                    payloads.append(
+                        hashlib.sha256(f"media-{int(i)}".encode()).digest() * 4
+                    )
+                    mimes.append("application/octet-stream")
             out = {
                 "media_id": ids,
-                "kind": [["image", "audio", "video"][int(i) % 3] for i in ids],
-                "payload": [
-                    hashlib.sha256(f"media-{int(i)}".encode()).digest() * 4
-                    for i in ids
-                ],
-                "mime": ["application/octet-stream"] * len(ids),
-                "n_bytes": [128] * len(ids),
+                "kind": kinds,
+                "payload": payloads,
+                "mime": mimes,
+                "n_bytes": [len(p) for p in payloads],
             }
             yield pd.DataFrame(out)
 
     return spark.range(n).toDF("id").mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+def _decode_ppm(payload: bytes) -> dict:
+    """Pure-numpy binary-PPM (P6) decode: header tokens (width,
+    height, maxval; # comments allowed) then the raw RGB raster."""
+    pos = 2  # past "P6"
+    vals = []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            while pos < len(payload) and payload[pos:pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        vals.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = vals
+    raster = np.frombuffer(payload, dtype=np.uint8,
+                           count=w * h * 3, offset=pos)
+    img = raster.reshape(h, w, 3).astype(np.float32)
+    gray = img.mean(axis=2) / float(maxval)
+    # 4x4 mean-pooled grid -> 16-dim feature
+    ys = np.linspace(0, h, 5).astype(int)
+    xs = np.linspace(0, w, 5).astype(int)
+    feat = np.array(
+        [gray[ys[r]:max(ys[r + 1], ys[r] + 1),
+              xs[c]:max(xs[c + 1], xs[c] + 1)].mean()
+         for r in range(4) for c in range(4)],
+        dtype=np.float32,
+    )
+    return {"width": w, "height": h, "feature": feat}
+
+
 def decode_image(payload: bytes, fake: bool = False) -> dict:
-    """Real decoder stub — container has no image libs."""
+    """Decode an image payload: PPM (P6) decodes for real; compressed
+    formats raise (no codec libraries in this container) unless
+    ``fake=True``."""
     if not fake:
+        if payload[:2] == b"P6":
+            return _decode_ppm(payload)
         raise NotImplementedError(
-            "image decoding requires an imaging library not present in "
-            "this container; pass fake=True for the deterministic stub"
+            "only binary PPM (P6) is decodable without an imaging "
+            "library; pass fake=True for the deterministic stub"
         )
     h = hashlib.sha256(payload).digest()
     return {

@@ -222,3 +222,25 @@ def test_ann_ivf_recall_and_agreement(spark):
     cos = (m[1:] @ q) / (np.linalg.norm(m[1:], axis=1) * np.linalg.norm(q))
     brute_top = set((np.argsort(-cos)[:10] + 1).tolist())
     assert len(ann & brute_top) >= 7, (ann, brute_top)
+
+
+def test_multimodal_real_ppm_decode(spark):
+    """PPM image rows decode FOR REAL through the Spark plumbing:
+    true dimensions, 16-dim pooled features in [0,1]; compressed
+    formats still raise."""
+    import pytest as _pytest
+    from anserini_spark.ops.multimodal import (
+        decode_image,
+        extract_features,
+        synth_media,
+    )
+
+    media = synth_media(spark, 30, real_images=True)
+    feats = extract_features(media, fake=False).collect()
+    assert len(feats) == len([i for i in range(30) if i % 3 == 0])
+    for r in feats:
+        assert 8 <= r["width"] <= 32 and 8 <= r["height"] <= 32
+        assert len(r["feature"]) == 16
+        assert all(0.0 <= v <= 1.0 for v in r["feature"])
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0JFIF-like")
