@@ -81,9 +81,10 @@ def synth_media(spark: SparkSession, n: int = 64,
     return spark.range(n).toDF("id").mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
-def _decode_ppm(payload: bytes) -> dict:
-    """Pure-numpy binary-PPM (P6) decode: header tokens (width,
-    height, maxval; # comments allowed) then the raw RGB raster."""
+def _parse_ppm_header(payload: bytes) -> tuple:
+    """(width, height, maxval, raster_offset) of a binary PPM:
+    header tokens after "P6" (# comments allowed), then one
+    whitespace byte, then the raw RGB raster."""
     pos = 2  # past "P6"
     vals = []
     while len(vals) < 3:
@@ -97,8 +98,12 @@ def _decode_ppm(payload: bytes) -> dict:
         while pos < len(payload) and not payload[pos:pos + 1].isspace():
             pos += 1
         vals.append(int(payload[start:pos]))
-    pos += 1  # single whitespace after maxval
-    w, h, maxval = vals
+    return vals[0], vals[1], vals[2], pos + 1
+
+
+def _decode_ppm(payload: bytes) -> dict:
+    """Pure-numpy binary-PPM (P6) decode."""
+    w, h, maxval, pos = _parse_ppm_header(payload)
     raster = np.frombuffer(payload, dtype=np.uint8,
                            count=w * h * 3, offset=pos)
     img = raster.reshape(h, w, 3).astype(np.float32)
@@ -154,3 +159,102 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     return media.filter(F.col("kind") == "image").mapInPandas(
         fn, schema=FEATURES_SCHEMA
     )
+
+
+def resize_image(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resize of a binary PPM, returning a new PPM —
+    real pixel work in numpy (the resize stage of a training-data
+    image pipeline)."""
+    w, h, _maxval, pos = _parse_ppm_header(payload)
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3,
+                           offset=pos).reshape(h, w, 3)
+    ys = (np.arange(out_h) * h // out_h)
+    xs = (np.arange(out_w) * w // out_w)
+    out = raster[ys][:, xs]
+    return f"P6\n{out_w} {out_h}\n255\n".encode() + out.tobytes()
+
+
+def resize_images(media: DataFrame, out_w: int = 16,
+                  out_h: int = 16) -> DataFrame:
+    """mapInPandas resize over image rows -> (media_id, payload) of
+    uniformly-sized PPMs."""
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {"media_id": [], "payload": []}
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                p = bytes(payload)
+                if p[:2] != b"P6":
+                    continue
+                rows["media_id"].append(int(mid))
+                rows["payload"].append(resize_image(p, out_w, out_h))
+            if rows["media_id"]:
+                yield pd.DataFrame(rows)
+
+    return media.filter(F.col("kind") == "image").mapInPandas(fn, schema)
+
+
+def synth_video(spark: SparkSession, n: int = 8,
+                frames: int = 12) -> DataFrame:
+    """Deterministic 'video' rows: payload = frame count (4 bytes BE)
+    + concatenated PPM frames — the opaque-binary-column contract with
+    a real, parseable container format."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids = b["id"].to_numpy()
+            payloads = [
+                frames.to_bytes(4, "big")
+                + b"".join(_synth_ppm(int(i) * 1000 + f)
+                           for f in range(frames))
+                for i in ids
+            ]
+            yield pd.DataFrame({
+                "media_id": ids,
+                "kind": ["video"] * len(ids),
+                "payload": payloads,
+                "mime": ["video/x-ppm-frames"] * len(ids),
+                "n_bytes": [len(p) for p in payloads],
+            })
+
+    return spark.range(n).toDF("id").mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every: int = 4) -> DataFrame:
+    """mapInPandas frame sampler over video rows: emit every
+    ``every``-th frame as its own (media_id, frame_idx, payload) row —
+    the frame-sampling stage of a video training pipeline. Real
+    container parsing (frame count + per-frame PPM headers)."""
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ])
+
+    def _split_frames(payload: bytes):
+        count = int.from_bytes(payload[:4], "big")
+        pos = 4
+        for idx in range(count):
+            frame = payload[pos:]
+            assert frame[:2] == b"P6"
+            w, h, _mx, off = _parse_ppm_header(frame)
+            end = pos + off + w * h * 3
+            yield idx, payload[pos:end]
+            pos = end
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {"media_id": [], "frame_idx": [], "payload": []}
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                for idx, frame in _split_frames(bytes(payload)):
+                    if idx % every == 0:
+                        rows["media_id"].append(int(mid))
+                        rows["frame_idx"].append(idx)
+                        rows["payload"].append(frame)
+            if rows["media_id"]:
+                yield pd.DataFrame(rows)
+
+    return media.filter(F.col("kind") == "video").mapInPandas(fn, schema)

@@ -244,3 +244,30 @@ def test_multimodal_real_ppm_decode(spark):
         assert all(0.0 <= v <= 1.0 for v in r["feature"])
     with _pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff\xe0JFIF-like")
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    """Real resize (uniform output dims, valid PPM) and real video
+    frame sampling (every k-th frame decodes)."""
+    from anserini_spark.ops.multimodal import (
+        decode_image,
+        frame_sample,
+        resize_images,
+        synth_media,
+        synth_video,
+    )
+
+    media = synth_media(spark, 18, real_images=True)
+    resized = resize_images(media, 16, 16).collect()
+    assert len(resized) == 6
+    for r in resized:
+        d = decode_image(bytes(r["payload"]))
+        assert (d["width"], d["height"]) == (16, 16)
+
+    vids = synth_video(spark, 4, frames=12)
+    sampled = frame_sample(vids, every=4).collect()
+    assert len(sampled) == 4 * 3  # frames 0, 4, 8
+    for r in sampled:
+        assert r["frame_idx"] % 4 == 0
+        d = decode_image(bytes(r["payload"]))
+        assert 8 <= d["width"] <= 32
