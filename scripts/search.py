@@ -25,7 +25,7 @@ def main() -> None:
     ap.add_argument("--bm25", default="0.9,0.4")
     ap.add_argument("--similarity", default="bm25accurate",
                     choices=["bm25", "bm25accurate", "qld", "qljm", "inl2",
-                             "spl", "f2exp", "f2log"],
+                             "spl", "f2exp", "f2log", "sdm"],
                     help="bm25 = default lossy-norm mode; bm25accurate = "
                          "exact norms; rest are the -qld/-inl2/... flags")
     ap.add_argument("--sim-param", type=float, default=None,
@@ -76,15 +76,22 @@ def main() -> None:
                   "spl": {"c": args.sim_param},
                   "f2exp": {"s": args.sim_param},
                   "f2log": {"s": args.sim_param}}[args.similarity]
-        if args.similarity in ("qld", "qljm"):
+        if args.similarity == "sdm":
+            from anserini_spark.search.bm25 import BM25Params
+            from anserini_spark.search.sdm import search_sdm
+
+            hits = search_sdm(idx, topics,
+                              BM25Params(k1=k1, b=b, k=args.hits))
+        elif args.similarity in ("qld", "qljm"):
             from anserini_spark.search.qld import search_qld, search_qljm
 
             fn = search_qld if args.similarity == "qld" else search_qljm
+            hits = fn(idx, topics, k=args.hits, **kw)
         else:
             from anserini_spark.search import similarities as sims
 
             fn = getattr(sims, f"search_{args.similarity}")
-        hits = fn(idx, topics, k=args.hits, **kw)
+            hits = fn(idx, topics, k=args.hits, **kw)
     if args.format == "trec":
         write_trec_run(hits, args.output, tag=args.tag)
     else:
