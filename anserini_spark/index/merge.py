@@ -35,15 +35,19 @@ from .blocks import RANGE_SHIFT
 from .build import (IndexConfig, _Manifest, _blocks_kernel, _dir_bytes,
                     blocks_schema)
 
-SLICE_SHIFT = 16  # segment' = (slice << SLICE_SHIFT) | segment
-
 
 def merge_indexes(spark: SparkSession, slice_dirs: list[str], cfg: IndexConfig) -> dict:
-    """Merge N slice index dirs (each from ``build_index``) into
-    ``cfg.out_dir``. Returns the manifest."""
-    if len(slice_dirs) > 126:
-        raise ValueError("merge supports at most 126 slices per level "
-                         "(segment id budget); merge hierarchically")
+    """Merge N slice index dirs (each from ``build_index`` OR a prior
+    merge — hierarchical merging is supported) into ``cfg.out_dir``.
+    Returns the manifest.
+
+    Segment ids are DENSELY reassigned across the inputs (slice 0's
+    segments first, then slice 1's, ...) rather than bit-shifted:
+    shifting breaks on two-level merges (an already-merged input's
+    segment ids exceed the shift budget and collide — caught by
+    `tests/test_merge.py::test_hierarchical_merge`), while dense ids
+    support any slice count and keep the (segment << 40 | row) doc-id
+    invariant exact."""
     os.makedirs(cfg.out_dir, exist_ok=True)
     man = _Manifest(cfg.out_dir)
 
@@ -56,10 +60,19 @@ def merge_indexes(spark: SparkSession, slice_dirs: list[str], cfg: IndexConfig) 
         t0 = time.time()
         parts = []
         has_pos = set()
+        next_seg = 0
         for si, d in enumerate(slice_dirs):
             dv = spark.read.parquet(os.path.join(d, "docvec.parquet"))
             has_pos.add("positions" in dv.columns)
-            seg = (F.lit(si << SLICE_SHIFT) + F.col("segment")).cast("int")
+            with open(os.path.join(d, "stats.json")) as f:
+                slice_segs = sorted(int(k) for k in
+                                    json.load(f)["segments"])
+            remap = {old: next_seg + j for j, old in enumerate(slice_segs)}
+            next_seg += len(slice_segs)
+            mapping = F.create_map(
+                *[F.lit(x) for kv in remap.items() for x in kv]
+            )
+            seg = mapping[F.col("segment")].cast("int")
             # doc ids are re-namespaced to the merged segment id so the
             # (segment << 40 | row) invariant holds globally
             doc = (

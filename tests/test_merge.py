@@ -76,3 +76,31 @@ def test_merge_preserves_positions_for_sdm(spark, tmp_path):
     merged_run = _rows(search_sdm(InvertedIndex(spark, dm), q, BM25Params(k=15)))
     single_run = _rows(search_sdm(InvertedIndex(spark, ds), q, BM25Params(k=15)))
     assert merged_run == single_run
+
+
+def test_hierarchical_merge(spark, tmp_path):
+    """merge(merge(a,b), merge(c,d)) must equal the single build —
+    the bit-shift segment namespacing silently corrupted doc ids at
+    level 2 (segment collisions); dense reassignment fixes it."""
+    corpus = web_corpus(spark, "/root/testdata/sf0.001")
+    dirs = []
+    for i in range(4):
+        d = str(tmp_path / f"h{i}")
+        build_index(spark, corpus.filter(F.abs(F.xxhash64("url")) % 4 == i),
+                    IndexConfig(out_dir=d, doc_partitions=2,
+                                block_partitions=2))
+        dirs.append(d)
+    m1, m2, top, single = (str(tmp_path / n)
+                           for n in ("m1", "m2", "top", "single"))
+    merge_indexes(spark, dirs[:2], IndexConfig(out_dir=m1, doc_partitions=2,
+                                               block_partitions=2))
+    merge_indexes(spark, dirs[2:], IndexConfig(out_dir=m2, doc_partitions=2,
+                                               block_partitions=2))
+    merge_indexes(spark, [m1, m2], IndexConfig(out_dir=top, doc_partitions=2,
+                                               block_partitions=3))
+    build_index(spark, corpus, IndexConfig(out_dir=single, doc_partitions=2,
+                                           block_partitions=3))
+    q = {1: "spark merge join", 2: "customer value", 3: "scan"}
+    a = _rows(search_kernel(InvertedIndex(spark, top), q, BM25Params(k=15)))
+    b = _rows(search_kernel(InvertedIndex(spark, single), q, BM25Params(k=15)))
+    assert a == b
