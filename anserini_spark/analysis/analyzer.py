@@ -173,9 +173,10 @@ def analyze_batch_counts(texts: pd.Series, analyzer: str = "porter",
 
     # per-UNIQUE-token chain (possessive strip -> lower -> stop -> stem)
     if analyzer == "ws":
-        stem_of = [
-            (u if 0 < len(u) <= _MAX_TOKEN_LEN else None) for u in uniques
-        ]
+        # no length cap: the per-row ws chain (_analyze_for /
+        # analyze_query) keeps every non-empty whitespace token, and
+        # batch and per-row must agree exactly
+        stem_of = [(u if len(u) > 0 else None) for u in uniques]
     else:
         stem = analyzer if analyzer in ("porter", "krovetz") else "none"
         cache = _TOKEN_CACHE.setdefault((stem, keep_stopwords), {})

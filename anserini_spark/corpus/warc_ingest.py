@@ -34,17 +34,26 @@ from pyspark.sql import types as T
 from ..extraction.html2text import extract_text
 
 
-def _split_headers(block: bytes) -> Tuple[dict, int]:
-    """Parse WARC header lines starting after the version line;
-    returns (headers, offset-of-payload)."""
-    end = block.find(b"\n\n")
-    rn_end = block.find(b"\r\n\r\n")
+_MAX_HEADER_BLOCK = 65536
+
+
+def _split_headers(data: bytes, start: int = 0) -> Tuple[dict, int]:
+    """Parse WARC header lines starting at ``start``; returns
+    (headers, ABSOLUTE offset-of-payload). Searches only a bounded
+    window and never copies the tail of ``data`` — header parsing is
+    O(header bytes), so a 1 GB file with 30k records stays O(file),
+    not O(records x file)."""
+    limit = min(len(data), start + _MAX_HEADER_BLOCK)
+    end = data.find(b"\n\n", start, limit)
+    rn_end = data.find(b"\r\n\r\n", start, limit)
     if rn_end != -1 and (end == -1 or rn_end < end):
         end, sep = rn_end, 4
     else:
         sep = 2
+    if end == -1:           # malformed / truncated header block
+        end, sep = limit, 0
     headers = {}
-    for line in block[:end].splitlines():
+    for line in data[start:end].splitlines():
         if b":" in line:
             k, v = line.split(b":", 1)
             headers[k.strip().decode("utf-8", "replace")] = (
@@ -63,7 +72,7 @@ def parse_warc(data: bytes) -> List[dict]:
         marker = data.find(b"WARC/", pos)
         if marker == -1:
             break
-        headers, body_off = _split_headers(data[marker:])
+        headers, body_off = _split_headers(data, marker)
         try:
             length = int(headers.get("Content-Length", "-1"))
         except ValueError:
@@ -71,7 +80,7 @@ def parse_warc(data: bytes) -> List[dict]:
         if length < 0:
             pos = marker + 5
             continue
-        start = marker + body_off
+        start = body_off
         payload = data[start:start + length]
         out.append({
             "type": headers.get("WARC-Type", ""),

@@ -45,9 +45,14 @@ def _gate_index(spark: SparkSession, sf_dir: str) -> str:
     a ws-analyzer block index over the sf documents table."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     fp = docs.agg(
-        F.count("*").alias("n"), F.max("doc_id").alias("m")
+        F.count("*").alias("n"),
+        F.max("doc_id").alias("m"),
+        # content digest: edited text with unchanged count/ids must not
+        # reuse a stale cached index (order-independent sum of row hashes)
+        F.sum(F.xxhash64("doc_id", "text")).alias("h"),
     ).collect()[0]
-    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{fp['n']}_{fp['m']}"
+    tag = (f"{os.path.basename(os.path.normpath(sf_dir))}"
+           f"_{fp['n']}_{fp['m']}_{(fp['h'] or 0) & 0xFFFFFFFFFFFF:x}")
     out_dir = f"/tmp/anserini_gate_idx_{tag}"
     corpus = docs.select(
         F.format_string("%020d", F.col("doc_id")).alias("url"),

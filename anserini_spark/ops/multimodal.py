@@ -131,6 +131,10 @@ def decode_image(payload: bytes, fake: bool = False) -> dict:
             "only binary PPM (P6) is decodable without an imaging "
             "library; pass fake=True for the deterministic stub"
         )
+    if payload[:2] == b"P6":
+        # decodable payloads always decode for real, even in fake mode —
+        # the stub exists only for opaque (compressed) bytes
+        return _decode_ppm(payload)
     h = hashlib.sha256(payload).digest()
     return {
         "width": 64 + h[0],

@@ -75,6 +75,11 @@ def _shape_inl2(df: int, cf: int, n: float, avgdl: float, sum_tf: float,
 def _shape_spl(df: int, cf: int, n: float, avgdl: float, sum_tf: float,
                c: float = 1.0):
     lam = (df + 1.0) / (n + 1.0)
+    # Lucene DistributionSPL guard: df == doc_count gives lam == 1, and
+    # (lam^x - lam)/(1 - lam) is then 0/0 -> NaN (which would also poison
+    # the MaxScore upper bounds). Mirror Lucene: clamp to 0.99.
+    if lam == 1.0:
+        lam = 0.99
 
     def shape(tf, dl):
         tfn = tf.astype(np.float64) * np.log1p(c * avgdl / dl.astype(np.float64)) / _LOG2

@@ -126,7 +126,10 @@ def search_spl(index: InvertedIndex, queries: Dict[int, str],
 
     def contrib(tf, dl, df, boost, n, avgdl):
         tfn = tf * F.log(F.lit(1.0) + F.lit(c * avgdl) / dl) / F.lit(LOG2)
-        lam = (df + F.lit(1.0)) / F.lit(n + 1.0)
+        # Lucene DistributionSPL clamps lambda == 1 (df == doc_count) to
+        # 0.99; without it the fraction below is 0/0 -> NaN.
+        raw_lam = (df + F.lit(1.0)) / F.lit(n + 1.0)
+        lam = F.when(raw_lam == 1.0, F.lit(0.99)).otherwise(raw_lam)
         frac = (F.pow(lam, tfn / (tfn + F.lit(1.0))) - lam) / (F.lit(1.0) - lam)
         return boost * (-F.log(frac) / F.lit(LOG2))
 

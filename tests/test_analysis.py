@@ -172,8 +172,9 @@ def test_analyze_batch_counts_equivalence():
         dls, terms, tfs = analyze_batch_counts(s, analyzer=analyzer)
         for i, t in enumerate(texts):
             if analyzer == "ws":
-                ref = Counter(w for w in (t or "").split()
-                              if 0 < len(w) <= 255)
+                # per-row ws chain (build.py _analyze_for, analyze_query)
+                # keeps every non-empty token regardless of length
+                ref = Counter(w for w in (t or "").split() if w)
             else:
                 stem = analyzer if analyzer in ("porter", "krovetz") else "none"
                 ref = Counter(analyze(t or "", stem=stem))
