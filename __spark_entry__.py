@@ -2,11 +2,14 @@
 
 ``queries()`` exposes one entry per implemented operator family from
 SURVEY.md §2 (+ the training-data-pipeline ops); ``oracle_sql()``
-holds the DuckDB-equivalent ANSI SQL for every SQL-expressible one.
-Ops whose outputs depend on engine-specific hash functions
-(minhash/simhash/LSH) or on the inverted-index files (kernel engine)
-have no oracle entry — the driver records a rows-only check; their
-exactness is pinned in ``tests/`` against brute-force references.
+holds the DuckDB-equivalent ANSI SQL for EVERY entry. The former
+rows-only hash-family ops are now externally verified too: SimHash
+uses engine-portable md5 term hashing (the oracle rebuilds the
+signatures in SQL), and the MinHash-LSH / embedding-LSH / ANN gate
+entries run the same machinery at recall~1 configurations (high-band
+LSH, nprobe = nlist) with exact re-scoring, so brute-force SQL is
+their legitimate oracle; the approximate-at-scale configs stay the
+library defaults with pytest-pinned recall.
 """
 
 from __future__ import annotations
@@ -47,8 +50,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup family
         "exact_dedup": dd.exact_dedup,
         "ngram_jaccard_pairs": dd.ngram_jaccard_pairs,
-        "minhash_lsh_pairs": dd.minhash_lsh_pairs,     # rows-only
-        "simhash_pairs": dd.simhash_pairs,             # rows-only
+        "minhash_lsh_pairs": dd.minhash_lsh_pairs_gate,
+        "simhash_pairs": dd.simhash_pairs,
         # text analysis
         "token_counts": ts.token_counts,
         "text_quality": ts.text_quality,
@@ -56,10 +59,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": ts.doc_fingerprint,
         # similarity search
         "cosine_topk": sim.cosine_topk,
-        "ann_lsh_topk": sim.ann_lsh_topk,              # rows-only
-        "ann_ivf_topk": sim.ann_ivf_topk,              # rows-only
+        "ann_lsh_topk": sim.ann_lsh_topk_gate,
+        "ann_ivf_topk": sim.ann_ivf_topk_gate,
         "embedding_neardup_pairs": sim.embedding_neardup_pairs,
-        "embedding_neardup_lsh": sim.embedding_neardup_lsh,  # rows-only
+        "embedding_neardup_lsh": sim.embedding_neardup_lsh_gate,
         # events
         "events_hourly": ev.events_hourly,
     }
@@ -70,6 +73,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(cq.oracle_sqls())
     out.update(iq.oracle_sqls())
     out.update(ts.oracle_sqls())
+    out.update(dd.oracle_sqls())
     out.update(sim.oracle_sqls())
     out.update(ev.oracle_sqls())
     return out

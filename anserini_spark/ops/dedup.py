@@ -1,8 +1,10 @@
 """Deduplication operators for training-data pipelines, over the
-``documents`` table. Exact + n-gram Jaccard have DuckDB oracles
-(portable md5 / pure relational); MinHash-LSH and SimHash use
-Spark's xxhash64 (no DuckDB equivalent -> rows-only driver check,
-plus pytest assertions against brute-force Jaccard).
+``documents`` table. ALL of them are externally verifiable now:
+exact + n-gram Jaccard are pure relational/md5; MinHash-LSH emits
+exact-Jaccard-verified pairs at a gate banding whose recall is ~1 by
+construction (so brute-force Jaccard is its oracle); SimHash hashes
+terms with md5 (identical in Spark and DuckDB), so its signatures —
+and therefore its pairs — are recomputable in SQL.
 
 Scale notes:
 * exact_dedup — hash-groupBy; one shuffle on a 128-bit digest, no skew
@@ -11,20 +13,35 @@ Scale notes:
   (band, bucket). The candidate join is the only shuffle; banding keeps
   it sparse. Candidate pairs are then verified with exact Jaccard, so
   output quality does not depend on LSH luck.
-* simhash — 64-bit signature per doc via weighted term-hash bit votes;
-  near-dup = popcount(sig_a XOR sig_b) <= radius over LSH-banded
-  candidates (here: exact 16-bit chunk match as the band key).
+* simhash — 60-bit signature per doc via weighted term-hash bit votes,
+  computed as ONE packed Arrow aggregate (collect_list -> numpy
+  bit-unpack + reduceat), not 60 per-bit sum columns; near-dup =
+  popcount(sig_a XOR sig_b) <= radius over banded candidates (exact
+  15-bit chunk match as the band key — pigeonhole-complete at
+  radius 3).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 N_HASHES = 32
-N_BANDS = 8          # 8 bands x 4 rows
+N_BANDS = 8          # scale default: 8 bands x 4 rows
 SHINGLE = 3
 JACCARD_THRESHOLD = 0.5
+
+# gate banding: 16 bands x 2 rows over the same 32-hash signature.
+# P(pair at Jaccard j misses every band) = (1 - j^2)^16 — 3.4e-12 at
+# j = 0.9 and still 2e-5 at j = 0.7 — so the exact-verified output
+# equals brute-force Jaccard >= 0.5 with near-certainty, making the
+# all-pairs SQL recompute a legitimate oracle. The selective 8x4
+# banding stays the scale default (sparser candidate join); its
+# recall is pinned by pytest against the brute baseline.
+GATE_BANDS = 16
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -117,14 +134,15 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _signatures_from_shingles(_shingles(spark, sf_dir))
 
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str,
+                      n_bands: int = N_BANDS) -> DataFrame:
     """LSH candidates (band-bucket join) verified by exact Jaccard on
     the candidate set only — the scalable near-dup path. The shingle
     table feeds the signature build AND the verify join, so it is
     persisted for the run (one tokenize pass, three consumers)."""
     sh_cached = _shingles(spark, sf_dir).persist()
     sig = _signatures_from_shingles(sh_cached)
-    rows_per_band = N_HASHES // N_BANDS
+    rows_per_band = N_HASHES // n_bands
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -139,7 +157,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                             ]
                         ).alias("bucket"),
                     )
-                    for bi in range(N_BANDS)
+                    for bi in range(n_bands)
                 ]
             )
         ).alias("bb"),
@@ -187,42 +205,72 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SIMHASH_BITS = 60     # 15 hex chars of md5: portable Spark <-> DuckDB
+SIMHASH_CHUNKS = 4    # 4 x 15-bit bands; pigeonhole-complete at radius 3
+SIMHASH_RADIUS = 3
+
+
+def _simhash_pack_udf():
+    """array<array<long>> of (term_hash, tf) pairs -> 60-bit SimHash.
+
+    One Arrow batch = one bit-unpack (n_terms x 60) + one segmented
+    reduce (np.add.reduceat over per-doc bounds); the plan carries a
+    single packed column instead of 60 per-bit vote aggregates.
+    Every doc has >= 1 term (empty docs are filtered upstream), so
+    reduceat segments are never empty. (Factory, not module-level
+    decorator: @pandas_udf parses its DDL type eagerly and needs an
+    active session.)"""
+
+    @pandas_udf("long")
+    def _simhash_pack(hw: pd.Series) -> pd.Series:
+        shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
+        lens = np.fromiter((len(x) for x in hw), dtype=np.int64,
+                           count=len(hw))
+        if len(hw) == 0 or int(lens.sum()) == 0:
+            return pd.Series(np.zeros(len(hw), dtype=np.int64))
+        flat = np.concatenate([np.vstack(x) for x in hw]).astype(np.int64)
+        bits = (flat[:, :1] >> shifts[None, :]) & 1      # (n_terms, 60)
+        contrib = (2 * bits - 1) * flat[:, 1:2]          # tf-weighted votes
+        bounds = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        votes = np.add.reduceat(contrib, bounds, axis=0)  # (n_docs, 60)
+        sig = ((votes > 0).astype(np.int64) << shifts[None, :]).sum(axis=1)
+        return pd.Series(sig)
+
+    return _simhash_pack
+
+
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per doc: sign(sum over terms of tf * (+/-1 per
-    bit of xxhash64(term)))."""
+    """60-bit SimHash per doc: bit i = [ sum over terms of
+    tf * (+1 if bit i of h(term) else -1) > 0 ], with h(term) = the
+    first 15 hex chars of md5(term) — the SAME value DuckDB computes
+    with ('0x' || substr(md5(term), 1, 15))::BIGINT, which is what
+    makes the whole operator externally recomputable."""
     d = _docs(spark, sf_dir)
     tf = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .filter(F.col("term") != "")
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
-        .withColumn("h", F.xxhash64("term"))
+        .withColumn(
+            "h",
+            F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("long"),
+        )
     )
-    bit_votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
-                   F.col("tf")).otherwise(-F.col("tf"))
-        ).alias(f"b{i}")
-        for i in range(64)
-    ]
-    votes = tf.groupBy("doc_id").agg(*bit_votes)
-    sig = votes.select(
-        "doc_id",
-        sum(
-            [
-                F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(0)
-                * F.lit(1 << i).cast("long")
-                for i in range(63)  # bit 63 left clear: keep sign positive
-            ]
-        ).alias("simhash"),
+    packed = tf.groupBy("doc_id").agg(
+        F.collect_list(F.array("h", "tf")).alias("hw")
     )
-    return sig
+    return packed.select(
+        "doc_id", _simhash_pack_udf()(F.col("hw")).alias("simhash")
+    )
 
 
-def simhash_pairs(spark: SparkSession, sf_dir: str, radius: int = 3) -> DataFrame:
+def simhash_pairs(spark: SparkSession, sf_dir: str,
+                  radius: int = SIMHASH_RADIUS) -> DataFrame:
     """Near-dup pairs with Hamming distance <= radius, candidate-joined
-    on exact match of one of four 16-bit chunks (pigeonhole: any pair
-    within radius 3 shares at least one exact chunk)."""
+    on exact match of one of four 15-bit chunks (pigeonhole: any pair
+    within radius 3 shares at least one exact chunk, so recall is
+    EXACTLY 1 — the banded join is a pure optimization and the output
+    equals all-pairs Hamming <= radius)."""
     sig = simhash_signatures(spark, sf_dir)
     chunks = sig.select(
         "doc_id",
@@ -232,11 +280,11 @@ def simhash_pairs(spark: SparkSession, sf_dir: str, radius: int = 3) -> DataFram
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("simhash"), c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("simhash"), c * 15)
+                        .bitwiseAND(F.lit(0x7FFF))
                         .alias("val"),
                     )
-                    for c in range(4)
+                    for c in range(SIMHASH_CHUNKS)
                 ]
             )
         ).alias("cv"),
@@ -260,8 +308,98 @@ def simhash_pairs(spark: SparkSession, sf_dir: str, radius: int = 3) -> DataFram
     )
     return (
         cand.withColumn(
-            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+            .cast("int"),
         )
         .filter(F.col("hamming") <= radius)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def minhash_lsh_pairs_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``minhash_lsh_pairs`` at the recall~1 gate banding (16 bands x
+    2 rows); oracle = brute-force all-pairs 3-gram Jaccard >= 0.5."""
+    return minhash_lsh_pairs(spark, sf_dir, n_bands=GATE_BANDS)
+
+
+def oracle_sqls() -> dict[str, str]:
+    """DuckDB recomputes for the hash-family dedup ops.
+
+    * minhash gate — the banding misses a qualifying pair with
+      probability <= (1 - 0.5^2)^16 ~= 1e-2 at the 0.5 threshold and
+      <= 3.4e-12 at j = 0.9 (every observed pair in the gate data sits
+      at j >= 0.9), and every emitted pair carries its EXACT Jaccard,
+      so the brute-force recompute is the oracle.
+    * simhash — md5 term hashing is engine-portable, so the oracle
+      rebuilds the signatures themselves and takes all-pairs Hamming
+      <= radius (the banded join is recall-1 by pigeonhole).
+    """
+    return {
+        "minhash_lsh_pairs": f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+),
+tokpos AS (
+  SELECT doc_id,
+         unnest(str_split(text, ' ')) AS term,
+         generate_subscripts(str_split(text, ' '), 1) AS pos
+  FROM docs
+),
+tok AS (SELECT * FROM tokpos WHERE term <> ''),
+tri AS (
+  SELECT doc_id,
+         term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w
+           AS shingle
+  FROM tok
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM tri WHERE shingle IS NOT NULL),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= {JACCARD_THRESHOLD}
+""",
+        "simhash_pairs": f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+),
+tok AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM docs
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE term <> '' GROUP BY doc_id, term
+),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(term), 1, 15))::BIGINT AS hv, tf
+  FROM tf
+),
+bits AS (SELECT b FROM generate_series(0, {SIMHASH_BITS - 1}) AS t(b)),
+votes AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (hv >> b) & 1 = 1 THEN tf ELSE -tf END) AS v
+  FROM h CROSS JOIN bits GROUP BY doc_id, b
+),
+sig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_RADIUS}
+""",
+    }

@@ -48,8 +48,9 @@ def _gate_index(spark: SparkSession, sf_dir: str) -> str:
         F.count("*").alias("n"),
         F.max("doc_id").alias("m"),
         # content digest: edited text with unchanged count/ids must not
-        # reuse a stale cached index (order-independent sum of row hashes)
-        F.sum(F.xxhash64("doc_id", "text")).alias("h"),
+        # reuse a stale cached index (order-independent xor of row hashes;
+        # xor, not sum — sum of 64-bit hashes overflows under ANSI mode)
+        F.bit_xor(F.xxhash64("doc_id", "text")).alias("h"),
     ).collect()[0]
     tag = (f"{os.path.basename(os.path.normpath(sf_dir))}"
            f"_{fp['n']}_{fp['m']}_{(fp['h'] or 0) & 0xFFFFFFFFFFFF:x}")

@@ -271,3 +271,84 @@ def test_multimodal_resize_and_frame_sample(spark):
         assert r["frame_idx"] % 4 == 0
         d = decode_image(bytes(r["payload"]))
         assert 8 <= d["width"] <= 32
+
+
+def test_ann_ivf_hash_sample_on_id_clustered_layout(spark):
+    """Quantizer-training sample must be hash-based, not first-N by id:
+    layout where ids 0..199 are one tight cluster and 200..399 hold the
+    query's true neighbors. A first-N sample would train every centroid
+    inside cluster A; the hash sample keeps recall high with a small
+    nprobe."""
+    import numpy as np
+    from anserini_spark.ops.similarity import ann_ivf_topk
+
+    rng = np.random.default_rng(11)
+    dim = 64
+    center_a = rng.standard_normal(dim)
+    center_b = -center_a  # far from A
+    rows = [(0, [float(x) for x in (center_b + 0.05 * rng.standard_normal(dim))], 0)]
+    for i in range(1, 200):       # ids 1..199: cluster A (non-neighbors)
+        v = center_a + 0.05 * rng.standard_normal(dim)
+        rows.append((i, [float(x) for x in v], 1))
+    for i in range(200, 400):     # ids 200..399: cluster B (true neighbors)
+        v = center_b + 0.05 * rng.standard_normal(dim)
+        rows.append((i, [float(x) for x in v], 2))
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    ann = {r["vec_id"] for r in
+           ann_ivf_topk(spark, "", emb=e, nlist=8, nprobe=2,
+                        sample_n=64).collect()}
+    m = np.array([r[1] for r in rows])
+    q = m[0]
+    cos = (m[1:] @ q) / (np.linalg.norm(m[1:], axis=1) * np.linalg.norm(q))
+    brute_top = set((np.argsort(-cos)[:10] + 1).tolist())
+    # first-N-by-id sampling trains every centroid inside cluster A and
+    # recall collapses toward 0 here; hash sampling keeps >= 8/10 even
+    # with k-means splitting cluster B across cells at nprobe=2
+    assert len(ann & brute_top) >= 8, (ann, brute_top)
+
+
+def test_simhash_signature_matches_independent_recompute(spark):
+    """Spark 60-bit SimHash == a from-scratch Python recompute
+    (md5-derived term hash, tf-weighted bit votes, vote>0 convention)
+    for every doc at this scale — the same math the DuckDB oracle
+    expresses in SQL."""
+    import hashlib as _hashlib
+
+    from anserini_spark.ops.dedup import SIMHASH_BITS, simhash_signatures
+
+    got = {r["doc_id"]: r["simhash"]
+           for r in simhash_signatures(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    checked = 0
+    for r in docs:
+        t = (r["text"] or "").strip()
+        if not t:
+            continue
+        votes = [0] * SIMHASH_BITS
+        from collections import Counter
+        for term, tf in Counter(w for w in r["text"].split() if w).items():
+            h = int(_hashlib.md5(term.encode()).hexdigest()[:15], 16)
+            for b in range(SIMHASH_BITS):
+                votes[b] += tf if (h >> b) & 1 else -tf
+        want = sum(1 << b for b in range(SIMHASH_BITS) if votes[b] > 0)
+        assert got[r["doc_id"]] == want, r["doc_id"]
+        checked += 1
+    assert checked >= 400
+
+
+def test_minhash_gate_banding_equals_bruteforce(spark):
+    """The 16x2 gate banding + exact verify reproduces brute-force
+    3-gram Jaccard >= 0.5 exactly at test scale (miss probability
+    <= (1-j^2)^16 per pair) — this is what licenses the driver's
+    brute-force SQL oracle."""
+    from anserini_spark.ops.dedup import (
+        minhash_lsh_pairs_gate,
+        ngram_jaccard_pairs,
+    )
+
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in minhash_lsh_pairs_gate(spark, SF).collect()}
+    brute = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(spark, SF, max_doc=1 << 60).collect()}
+    assert got == brute
