@@ -16,16 +16,21 @@ consonant undoubling), then the derivational endings (-ity, -ness,
 -ion, -er, -ly, -al, -ive, -ize, -ment, -ble, -ic), all
 dictionary-gated.
 
-Scope note: Lucene's KStem ships a ~30K-entry lexicon; bundling it is
-out of scope, so this module carries a compact common-English lexicon
-plus the irregular map. Rule behavior is identical; rare words fall
-back to "leave unchanged", which is KStem's own default for unknown
+Scope note: Lucene's KStem ships a ~30K-entry lexicon; this module
+gates its rules on the ~5K-lemma from-scratch headword list in
+``kstem_lexicon`` (public common-English vocabulary, no copied
+wordlist) plus the compact core list and irregular map below —
+covering the vocabulary mass of web/news text. Rule behavior is
+identical to the published algorithm; off-list rare words fall back
+to "leave unchanged", which is KStem's own default for unknown
 derivations. The reference's published analyzer goldens
 (`EnglishStemmingAnalyzerTest.java:34-36`: city/bus/running/schedule)
-are pinned in tests.
+plus a ~50-word behavior table are pinned in tests.
 """
 
 from __future__ import annotations
+
+from .kstem_lexicon import LEXICON_WORDS
 
 # irregular / exception forms -> root (small subset of the standard map)
 _IRREGULAR = {
@@ -140,7 +145,7 @@ western what when where whether which while white who whole whose
 why wide wife will win wind window wish within without woman wonder
 word work worker world worry would write writer wrong yard yeah
 year yes yet young
-""".split())
+""".split()) | frozenset(LEXICON_WORDS.split())
 
 
 def _in_dict(w: str) -> bool:
@@ -167,7 +172,13 @@ def kstem(word: str) -> str:
 
     # ---- plural ---------------------------------------------------
     if w.endswith("ies") and len(w) > 4:
-        return w[:-3] + "y"  # -ies -> -y (orthographic default)
+        # -ies -> -y only when the -y form is a real word (KStem
+        # contract); otherwise drop just the "s" (movies -> movie),
+        # mirroring Lucene KStemmer's restore-on-miss behavior
+        cand = w[:-3] + "y"
+        if _in_dict(cand):
+            return cand
+        return w[:-1]
     if w.endswith("es") and len(w) > 3:
         drop_s = w[:-1]
         if _in_dict(drop_s):
@@ -221,4 +232,8 @@ def kstem(word: str) -> str:
                 cand = stem0 + add
                 if _in_dict(cand):
                     return cand
+            # kstem.c restores a trailing "i" to "y" after suffix
+            # removal (happiness -> happi -> happy, happily -> happy)
+            if stem0.endswith("i") and _in_dict(stem0[:-1] + "y"):
+                return stem0[:-1] + "y"
     return word

@@ -182,3 +182,51 @@ def test_analyze_batch_counts_equivalence():
             assert terms[i] == want, (analyzer, i)
             assert tfs[i] == [ref[w] for w in want], (analyzer, i)
             assert dls[i] == sum(ref.values()), (analyzer, i)
+
+
+def test_krovetz_behavior_table():
+    """~55-word KStem behavior table over the expanded lexicon:
+    reference goldens (EnglishStemmingAnalyzerTest.java:34-36) plus
+    published-algorithm behaviors — plurals resolve to real words
+    (-ies gated on the dictionary with restore-on-miss), dictionary
+    headwords (incl. lexicalized -ing/-ness forms) pass through,
+    past/aspect/derivational endings are dictionary-gated, and the
+    kstem.c trailing-i -> y restore works."""
+    from anserini_spark.analysis.krovetz import kstem
+
+    table = {
+        # reference analyzer goldens
+        "cities": "city", "buses": "bus", "running": "running",
+        "schedules": "schedule",
+        # -ies with dictionary -y form
+        "armies": "army", "babies": "baby", "flies": "fly",
+        "stories": "story", "companies": "company", "parties": "party",
+        "studies": "study", "bodies": "body", "families": "family",
+        "copies": "copy", "policies": "policy", "ladies": "lady",
+        "enemies": "enemy", "replies": "reply", "supplies": "supply",
+        "injuries": "injury", "abilities": "ability",
+        "activities": "activity", "communities": "community",
+        "industries": "industry", "countries": "country",
+        # -ies restore-on-miss: -y form is not a word, drop just the s
+        "movies": "movie", "cookies": "cookie",
+        # -es / -s plurals
+        "dogs": "dog", "churches": "church", "boxes": "box",
+        "writers": "writer", "horses": "horse",
+        # irregular map
+        "knives": "knife", "wolves": "wolf", "dying": "die",
+        "lying": "lie", "children": "child", "feet": "foot",
+        # past tense (dictionary-gated, undoubling, -ied -> y)
+        "agreed": "agree", "carried": "carry", "planned": "plan",
+        "stopped": "stop", "wanted": "want", "walked": "walk",
+        # aspect -ing (e-restore, undoubling, lexicalized forms kept)
+        "making": "make", "taking": "take", "swimming": "swim",
+        "building": "building", "morning": "morning",
+        # derivational, incl. trailing-i -> y restore
+        "happily": "happy", "quickly": "quick", "slowly": "slow",
+        # dictionary headwords and -is/-ss guards pass through
+        "series": "series", "analysis": "analysis", "this": "this",
+        "happiness": "happiness", "glass": "glass",
+    }
+    bad = {w: (kstem(w), want) for w, want in table.items()
+           if kstem(w) != want}
+    assert not bad, bad
