@@ -1,0 +1,176 @@
+"""Metric-level regression harness — the pytest analogue of the
+reference's YAML-driven `src/main/python/run_regression.py` +
+pinned-metric regression files (`src/main/resources/regression/*.yaml`,
+`docs/regressions.md` "Replicability Promise"): deterministic
+corpus + qrels -> real block index -> BM25 / QLD / RM3 retrieval ->
+MRR@10 / MAP / R@1000, (a) cross-checked against a from-scratch pure
+Python recompute of every metric from the run rows, and (b) pinned to
+4 decimals so any scoring / analysis / top-k regression trips the
+gate exactly the way the reference's regression suite does.
+"""
+
+from collections import defaultdict
+
+import pytest
+
+# ---------------------------------------------------------------------------
+# deterministic fixture: 30 docs, 4 topics, graded qrels. Topic design:
+#   q1 "solar energy panels"   — 3 relevant docs with varying term density
+#   q2 "ocean wave research"   — 2 relevant, one retrievable only at depth
+#   q3 "ancient roman history" — 3 relevant, one UNINDEXED vocab (never
+#                                retrieved -> recall < 1, AP penalized)
+#   q4 "quantum computing"     — judged topic with relevant doc that the
+#                                run CAN find at rank 1 (easy MRR anchor)
+# ---------------------------------------------------------------------------
+
+DOCS = [
+    ("d01", "solar energy panels convert sunlight into electric energy"),
+    ("d02", "solar panels on rooftops generate energy for homes"),
+    ("d03", "the economics of solar energy adoption in cities"),
+    ("d04", "wind turbines and hydro plants complement power grids"),
+    ("d05", "ocean wave research measures swell height and period"),
+    ("d06", "research vessels study ocean currents and wave dynamics"),
+    ("d07", "coastal erosion driven by storm waves and tides"),
+    ("d08", "ancient roman history covers the republic and the empire"),
+    ("d09", "roman legions and ancient roads shaped european history"),
+    ("d10", "etruscan artifacts predate the roman kingdom era"),
+    ("d11", "quantum computing uses qubits for parallel computation"),
+    ("d12", "classical computing relies on transistors and binary logic"),
+    ("d13", "gardening tips for growing tomatoes in small spaces"),
+    ("d14", "recipes for baking bread with whole grain flour"),
+    ("d15", "marathon training plans for first time runners"),
+    ("d16", "stock market analysis of technology sector earnings"),
+    ("d17", "film review of a documentary about mountain climbers"),
+    ("d18", "travel guide to alpine villages and scenic railways"),
+    ("d19", "chess openings every beginner should learn first"),
+    ("d20", "birdwatching checklist for wetland habitats in spring"),
+    ("d21", "solar flares disturb satellite communication channels"),
+    ("d22", "energy storage batteries balance intermittent supply"),
+    ("d23", "wave function collapse in quantum measurement theory"),
+    ("d24", "history of computing machines from abacus to silicon"),
+    ("d25", "roman mythology and its greek counterparts compared"),
+    ("d26", "deep sea exploration maps volcanic ocean ridges"),
+    ("d27", "urban planning for cycling infrastructure and parks"),
+    ("d28", "the printing press accelerated the spread of knowledge"),
+    ("d29", "glacier retreat observed in long term climate records"),
+    ("d30", "machine learning models for natural language parsing"),
+]
+
+TOPICS = {
+    1: "solar energy panels",
+    2: "ocean wave research",
+    3: "ancient roman history",
+    4: "quantum computing",
+}
+
+# (qid, docid, grade); dZZ is a judged-relevant doc absent from the
+# corpus — trec_eval convention: it still counts in the AP/recall
+# denominators.
+QRELS = [
+    (1, "d01", 2), (1, "d02", 1), (1, "d03", 1),
+    (2, "d05", 2), (2, "d06", 1),
+    (3, "d08", 2), (3, "d09", 1), (3, "dZZ", 1),
+    (4, "d11", 2), (4, "d23", 1),
+]
+
+# pinned 4-decimal metrics (the regression gate — recomputed
+# independently below, so a pin mismatch means the ENGINE moved)
+PINNED = {
+    "bm25": {"mrr@10": 1.0, "map": 0.9167, "recall@1000": 0.9167},
+    "qld": {"mrr@10": 1.0, "map": 0.9167, "recall@1000": 0.9167},
+    "rm3": {"mrr@10": 1.0, "map": 0.9167, "recall@1000": 0.9167},
+}
+
+
+@pytest.fixture(scope="module")
+def reg_index(spark, tmp_path_factory):
+    from anserini_spark.index.build import IndexConfig, build_index
+    from anserini_spark.search.searcher import InvertedIndex
+
+    rows = [(f"https://reg/{d}", t, "en") for d, t in DOCS]
+    corpus = spark.createDataFrame(rows, "url string, text string, lang string")
+    out = str(tmp_path_factory.mktemp("regidx") / "idx")
+    build_index(spark, corpus, IndexConfig(out_dir=out, analyzer="porter",
+                                           doc_partitions=2,
+                                           block_partitions=2))
+    return InvertedIndex(spark, out)
+
+
+def _qrels_df(spark):
+    return spark.createDataFrame(
+        [(q, f"https://reg/{d}" if d != "dZZ" else d, g)
+         for q, d, g in QRELS],
+        "qid int, docid string, grade int",
+    )
+
+
+def _pure_python_metrics(run_rows, k_mrr=10, cutoff=1000):
+    """From-scratch recompute (no shared code with eval.metrics):
+    macro-averaged over judged topics."""
+    rel = defaultdict(set)
+    for q, d, g in QRELS:
+        if g > 0:
+            rel[q].add(f"https://reg/{d}" if d != "dZZ" else d)
+    by_q = defaultdict(list)
+    for r in run_rows:
+        by_q[r["qid"]].append((r["rank"], r["docid"]))
+    mrr, ap, rec = [], [], []
+    for q, relset in rel.items():
+        ranked = sorted(by_q.get(q, []))
+        rr = 0.0
+        for rank, d in ranked[:k_mrr]:
+            if d in relset:
+                rr = 1.0 / rank
+                break
+        mrr.append(rr)
+        hits, sump = 0, 0.0
+        for rank, d in ranked:
+            if rank <= cutoff and d in relset:
+                hits += 1
+                sump += hits / rank
+        ap.append(sump / len(relset))
+        rec.append(hits / len(relset))
+    n = len(rel)
+    return {
+        "mrr@10": round(sum(mrr) / n, 4),
+        "map": round(sum(ap) / n, 4),
+        "recall@1000": round(sum(rec) / n, 4),
+    }
+
+
+def _run_for(sim, reg_index):
+    from anserini_spark.search.bm25 import BM25Params
+    from anserini_spark.search.qld import search_qld
+    from anserini_spark.search.rm3 import search_rm3
+    from anserini_spark.search.searcher import search_kernel
+
+    params = BM25Params(k1=0.9, b=0.4, k=1000)
+    if sim == "bm25":
+        return search_kernel(reg_index, TOPICS, params)
+    if sim == "qld":
+        return search_qld(reg_index, TOPICS, mu=1000.0, k=1000)
+    hits, _ = search_rm3(reg_index, TOPICS, params)
+    return hits
+
+
+@pytest.mark.parametrize("sim", ["bm25", "qld", "rm3"])
+def test_regression_pinned_metrics(spark, reg_index, sim):
+    from anserini_spark.eval.metrics import evaluate
+
+    run = _run_for(sim, reg_index)
+    rows = run.select("qid", "docid", "rank", "score").collect()
+    got = evaluate(run, _qrels_df(spark))
+    # (a) engine metrics == independent pure-Python recompute
+    assert got == _pure_python_metrics(rows), sim
+    # (b) pinned regression values (4 decimals, reference-style gate)
+    assert got == PINNED[sim], (sim, got)
+
+
+def test_regression_run_is_deterministic(reg_index):
+    """Two retrieval passes over the same index produce identical
+    (qid, rank, docid, score) — the replicability promise."""
+    a = _run_for("bm25", reg_index).select(
+        "qid", "rank", "docid", "score").collect()
+    b = _run_for("bm25", reg_index).select(
+        "qid", "rank", "docid", "score").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
