@@ -605,6 +605,7 @@ class SimpleSearcher:
         self.params = BM25Params(k1=k1, b=b, lossy=lossy)
         self.engine = engine
         self._rm3: Optional[Tuple[int, int, float]] = None
+        self._axiom: Optional[Tuple[int, int, float, int, int]] = None
 
     def set_bm25(self, k1: float, b: float) -> None:
         self.params = BM25Params(k1=k1, b=b, k=self.params.k,
@@ -618,9 +619,25 @@ class SimpleSearcher:
     def unset_rm3(self) -> None:
         self._rm3 = None
 
+    def set_axiom(self, r: int = 20, n: int = 2, beta: float = 0.4,
+                  m: int = 20, seed: int = 42) -> None:
+        """Enable the deterministic axiomatic reranker
+        (`SearchArgs.java` -axiom block analogue; see axiom.py)."""
+        self._axiom = (r, n, beta, m, seed)
+
+    def unset_axiom(self) -> None:
+        self._axiom = None
+
     def batch_search(self, queries: Dict[int, str], k: int = 1000) -> DataFrame:
         params = BM25Params(k1=self.params.k1, b=self.params.b, k=k,
                             lossy=self.params.lossy)
+        if self._axiom is not None:
+            from .axiom import search_axiom
+
+            r, n, beta, m, seed = self._axiom
+            hits, _ = search_axiom(self.index, queries, params, r=r, n=n,
+                                   beta=beta, m=m, seed=seed)
+            return hits
         if self._rm3 is not None:
             from .rm3 import search_rm3
 
