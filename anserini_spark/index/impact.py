@@ -147,7 +147,11 @@ def search_impact(
     if engine == "kernel":
         import numpy as np
 
-        from ..search.searcher import _finalize, _segment_score_fn
+        from ..search.searcher import (
+            ARRAY_RESULT_SCHEMA,
+            _finalize_arrays,
+            _segment_score_fn,
+        )
 
         def _shape(tf, dl, _scale=scale):
             return tf.astype(np.float64) / _scale
@@ -165,10 +169,12 @@ def search_impact(
         ).filter(F.col("term").isin(all_terms))
         fn = _segment_score_fn(boosts, (0.0, 0.0, False), seg_counts, k,
                                prune=True, shape_fns=shape_fns)
-        hits = blocks.groupBy("segment").applyInPandas(
-            fn, schema="qid int, doc_id long, score double"
+        n_parts = min(512, 4 * max(1, len(seg_counts)))
+        hits = (
+            blocks.repartition(n_parts, "segment")
+            .groupBy("segment").applyInPandas(fn, schema=ARRAY_RESULT_SCHEMA)
         )
-        return _finalize(index, hits, k)
+        return _finalize_arrays(index, hits, k)
     q = spark.createDataFrame(rows, "qid int, term string, qval double")
     postings = index.docvec.select(
         "doc_id", F.explode(F.arrays_zip("terms", "tfs")).alias("e")

@@ -27,7 +27,12 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .searcher import InvertedIndex, _finalize, _segment_score_fn
+from .searcher import (
+    ARRAY_RESULT_SCHEMA,
+    InvertedIndex,
+    _finalize_arrays,
+    _segment_score_fn,
+)
 
 _LOG2 = np.log(2.0)
 
@@ -176,10 +181,14 @@ def search_kernel_similarity(
     ).filter(F.col("term").isin(sorted(shape_fns)))
     fn = _segment_score_fn(boosts, (0.0, 0.0, False), seg_counts, k, prune,
                            shape_fns=shape_fns)
-    hits = blocks.groupBy("segment").applyInPandas(
-        fn, schema="qid int, doc_id long, score double"
+    # 4x partitions vs segments: avoid balls-in-bins straggler tasks
+    # (see search_kernel)
+    n_parts = min(512, 4 * max(1, len(seg_counts)))
+    hits = (
+        blocks.repartition(n_parts, "segment")
+        .groupBy("segment").applyInPandas(fn, schema=ARRAY_RESULT_SCHEMA)
     )
     # Lucene returns every doc matching >=1 query term, INCLUDING
     # docs whose clamped LM score is 0 (golden: QLD `1 Q0 WSJ_1 3
     # 0.000000`, `TrecEndToEndTest.java:92-96`) — no score filter
-    return _finalize(index, hits, k)
+    return _finalize_arrays(index, hits, k)

@@ -47,6 +47,12 @@ from .bm25 import BM25Params, BM25Scorer
 from .tieadjust import adjust_score_ties
 
 RESULT_SCHEMA = "qid int, doc_id long, score float"
+# kernel paths emit ONE row per (segment, qid) with packed arrays:
+# |segments| * |queries| rows instead of |segments| * |queries| * k —
+# the per-qid merge then runs as a numpy kernel, not a 30M-row
+# JVM sort window (batch-throughput path; same bytes, ~1000x fewer
+# row headers/comparisons)
+ARRAY_RESULT_SCHEMA = "qid int, doc_id array<bigint>, score array<double>"
 
 
 class InvertedIndex:
@@ -208,11 +214,77 @@ def _query_weights(
     return weights, scorer
 
 
-def _finalize(index: InvertedIndex, hits: DataFrame, k: int) -> DataFrame:
-    """Merge candidates globally: join urls, top-k per qid by
-    (score desc, url asc), assign ranks, adjust score ties."""
+def _merge_topk_fn(k: int):
+    """Per-qid merge of the segments' packed top-k arrays: concatenate
+    <= |segments| rows, keep every doc scoring >= the kth-largest
+    (ties included — exact superset of the top-k), explode back to
+    rows. O(candidates) numpy, no comparison sort."""
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        docs = np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in pdf["doc_id"]]
+        )
+        scores = np.concatenate(
+            [np.asarray(x, dtype=np.float64) for x in pdf["score"]]
+        )
+        if len(docs) > k:
+            kth = np.partition(scores, len(scores) - k)[len(scores) - k]
+            keep = scores >= kth
+            docs, scores = docs[keep], scores[keep]
+        return pd.DataFrame(
+            {
+                "qid": np.full(len(docs), int(pdf["qid"].iloc[0]),
+                               dtype=np.int32),
+                "doc_id": docs,
+                "score": scores,
+            }
+        )
+
+    return merge
+
+
+def _finalize_arrays(index: InvertedIndex, hits: DataFrame,
+                     k: int) -> DataFrame:
+    """Global merge for the kernel paths' packed-array output: per-qid
+    numpy top-k merge (|segments| rows per qid through the shuffle,
+    not |segments| * k), then url join + exact (score desc, url asc)
+    final order for only the ~k survivors per qid."""
+    merged = hits.groupBy("qid").applyInPandas(
+        _merge_topk_fn(k), schema="qid int, doc_id long, score double"
+    )
     docmap = index.docmap.select("doc_id", "url")
-    joined = hits.join(docmap.hint("shuffle_hash"), "doc_id")
+    joined = merged.join(docmap.hint("shuffle_hash"), "doc_id")
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("url"))
+    ranked = (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", F.col("url").alias("docid"), "rank", "score")
+    )
+    return adjust_score_ties(ranked).orderBy("qid", "rank")
+
+
+def _finalize(index: InvertedIndex, hits: DataFrame, k: int) -> DataFrame:
+    """Merge candidates globally: top-k per qid by (score desc,
+    url asc), assign ranks, adjust score ties.
+
+    Two-phase for batch scale: segments emit up to |segments| * k rows
+    per qid, so joining urls first would shuffle that whole candidate
+    stream through the docmap join. Phase 1 prunes on the NARROW
+    (qid, doc_id, score) rows with ``rank() <= k`` over score alone —
+    rank() (not row_number) keeps every row tied at the kth score, so
+    the url tie-break in phase 2 stays exact, while WindowGroupLimit
+    pushes a partial top-k map-side before the qid shuffle. Phase 2
+    joins urls for only the ~k survivors per qid and applies the final
+    (score desc, url asc) order — BREAK_SCORE_TIES_BY_DOCID on the
+    collection docid string (`SearchCollection.java:115-116`)."""
+    w0 = Window.partitionBy("qid").orderBy(F.desc("score"))
+    pruned = (
+        hits.withColumn("r0", F.rank().over(w0))
+        .filter(F.col("r0") <= k)
+        .drop("r0")
+    )
+    docmap = index.docmap.select("doc_id", "url")
+    joined = pruned.join(docmap.hint("shuffle_hash"), "doc_id")
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("url"))
     ranked = (
         joined.withColumn("rank", F.row_number().over(w))
@@ -321,8 +393,8 @@ def _segment_score_fn(
         return pd.DataFrame(
             {
                 "qid": np.empty(0, dtype=np.int32),
-                "doc_id": np.empty(0, dtype=np.int64),
-                "score": np.empty(0, dtype=out_dtype),
+                "doc_id": np.empty(0, dtype=object),
+                "score": np.empty(0, dtype=object),
             }
         )
 
@@ -383,12 +455,15 @@ def _segment_score_fn(
         out_doc: List[np.ndarray] = []
         out_score: List[np.ndarray] = []
         acc = np.zeros(count, dtype=np.float64)
+        # dense touched-doc mask: candidate collection is O(segment
+        # doc count) flatnonzero scans instead of O(n log n)
+        # unique/sort churn per query — the batch-throughput hot path
+        mask = np.zeros(count, dtype=bool)
         for qid, wmap in weights.items():
             terms = [t for t in wmap if t in groups]
             if not terms:
                 continue
             if not prune:
-                touched: List[np.ndarray] = []
                 for t in terms:
                     idx, part = get_decoded(t)
                     if f32:
@@ -396,41 +471,45 @@ def _segment_score_fn(
                         acc[idx] += contrib.astype(np.float64)
                     else:
                         acc[idx] += wmap[t] * part
-                    touched.append(idx)
-                cand = np.unique(np.concatenate(touched))
+                    mask[idx] = True
+                cand = np.flatnonzero(mask)
                 scores = acc[cand].astype(out_dtype)
                 acc[cand] = 0.0
+                mask[cand] = False
             else:
                 cand, scores = _maxscore_query(
-                    terms, wmap, meta, get_decoded, decode_subset, acc, k,
-                    f32=f32,
+                    terms, wmap, meta, get_decoded, decode_subset, acc,
+                    mask, k, f32=f32,
                 )
             if len(cand) > k:
-                # stable tie-break: doc_id asc within equal scores (==
-                # url order inside a segment — BREAK_SCORE_TIES_BY_DOCID,
-                # `SearchCollection.java:115-116`), so docs tied at the
-                # kth score survive deterministically and match the
-                # global merge's (score desc, url asc) order
-                top = np.lexsort((cand, -scores))[:k]
-                cand, scores = cand[top], scores[top]
-            out_qid.append(np.full(len(cand), qid, dtype=np.int64))
+                # keep every doc scoring >= the kth-largest score (ties
+                # included — a superset of the exact top-k, O(n)
+                # argpartition instead of a full lexsort); the global
+                # merge applies the final (score desc, url asc) order
+                # (BREAK_SCORE_TIES_BY_DOCID,
+                # `SearchCollection.java:115-116`), so emitting tied
+                # extras never changes the ranked result
+                kth = np.partition(scores, len(scores) - k)[len(scores) - k]
+                keep = scores >= kth
+                cand, scores = cand[keep], scores[keep]
+            out_qid.append(qid)
             out_doc.append(cand + base)
-            out_score.append(scores)
+            out_score.append(scores.astype(np.float64))
         if not out_qid:
             return _empty()
         return pd.DataFrame(
             {
-                "qid": np.concatenate(out_qid),
-                "doc_id": np.concatenate(out_doc),
-                "score": np.concatenate(out_score),
+                "qid": np.asarray(out_qid, dtype=np.int32),
+                "doc_id": out_doc,
+                "score": out_score,
             }
         )
 
     return score_segment
 
 
-def _maxscore_query(terms, wmap, meta, get_decoded, decode_subset, acc, k,
-                    f32=True):
+def _maxscore_query(terms, wmap, meta, get_decoded, decode_subset, acc,
+                    mask, k, f32=True):
     """MaxScore evaluation of one query over one segment.
 
     Dense-accumulate terms in descending upper-bound order; once the
@@ -440,7 +519,10 @@ def _maxscore_query(terms, wmap, meta, get_decoded, decode_subset, acc, k,
     them with sorted lookups (searchsorted) restricted to the candidate
     set, decoding only candidate-overlapping blocks (block-max skip).
     Final scores of emitted docs are exact; rank-identical to the
-    unpruned path (pinned by tests)."""
+    unpruned path (pinned by tests). ``mask`` is the segment-wide
+    touched-doc workspace (candidate collection = one O(doc-count)
+    flatnonzero scan, no per-term unique/sort); it is returned to
+    all-False before exit."""
     if f32:
         ubs = {
             t: float(np.float32(wmap[t]) * np.float32(m[1].max()))
@@ -455,16 +537,11 @@ def _maxscore_query(terms, wmap, meta, get_decoded, decode_subset, acc, k,
     suffix = np.concatenate(
         [np.cumsum([ubs[t] for t in order][::-1])[::-1][1:], [0.0]]
     )
-    touched: List[np.ndarray] = []
     theta = 0.0
     switch = len(order)
     for i, t in enumerate(order):
-        if touched and suffix[i] > 0.0:
-            if len(touched) == 1:
-                cur = touched[0]
-            else:
-                cur = np.unique(np.concatenate(touched))
-                touched = [cur]
+        if i > 0 and suffix[i] > 0.0:
+            cur = np.flatnonzero(mask)
             if len(cur) > k:
                 part_scores = acc[cur]
                 theta = float(np.partition(part_scores, len(cur) - k)[len(cur) - k])
@@ -476,8 +553,8 @@ def _maxscore_query(terms, wmap, meta, get_decoded, decode_subset, acc, k,
             acc[idx] += (np.float32(wmap[t]) * part).astype(np.float32).astype(np.float64)
         else:
             acc[idx] += wmap[t] * part
-        touched.append(idx)
-    cand = np.unique(np.concatenate(touched)) if len(touched) > 1 else touched[0]
+        mask[idx] = True
+    cand = np.flatnonzero(mask)
     if switch < len(order):
         # candidates that cannot reach theta are dead: their final score
         # is < theta <= final kth score, so dropping them is exact
@@ -503,9 +580,11 @@ def _maxscore_query(terms, wmap, meta, get_decoded, decode_subset, acc, k,
         out_dt = np.float32 if f32 else np.float64
         scores = acc[live].astype(out_dt)
         acc[cand] = 0.0
+        mask[cand] = False
         return live, scores
     scores = acc[cand].astype(np.float32 if f32 else np.float64)
     acc[cand] = 0.0
+    mask[cand] = False
     return cand, scores
 
 
@@ -535,8 +614,18 @@ def search_kernel(
         params.k,
         prune,
     )
-    hits = blocks.groupBy("segment").applyInPandas(fn, schema=RESULT_SCHEMA)
-    return _finalize(index, hits, params.k)
+    # over-provision the group hash space: with |segments| groups into
+    # |segments| reducers, balls-in-bins collisions put 2-3 segments on
+    # one task and leave a third of the cores idle (the straggler IS
+    # the batch latency). 4x partitions make collisions rare; the
+    # explicit repartition satisfies applyInPandas's clustering
+    # requirement, so no second shuffle is added.
+    n_parts = min(512, 4 * max(1, len(seg_counts)))
+    hits = (
+        blocks.repartition(n_parts, "segment")
+        .groupBy("segment").applyInPandas(fn, schema=ARRAY_RESULT_SCHEMA)
+    )
+    return _finalize_arrays(index, hits, params.k)
 
 
 POSTINGS_SCHEMA = "term string, doc_id long, tf long, doclen long"

@@ -34,15 +34,19 @@ def _run(fn_prune, fn_dense, pdf, k):
     b = fn_dense(pdf.copy())
 
     def norm(df):
+        # kernel emits packed per-qid arrays (possibly a superset of
+        # the top-k when scores tie at the kth boundary); explode,
+        # apply the deterministic (score desc, doc asc) order, cut to k
         out = {}
-        for qid, g in df.groupby("qid"):
-            g = g.sort_values(["score", "doc_id"], ascending=[False, True],
-                              kind="mergesort")
-            out[int(qid)] = [
+        for _, row in df.iterrows():
+            out.setdefault(int(row["qid"]), []).extend(
                 (int(d), float(np.float32(s)))
-                for d, s in zip(g["doc_id"].head(k), g["score"].head(k))
-            ]
-        return out
+                for d, s in zip(row["doc_id"], row["score"])
+            )
+        return {
+            qid: sorted(pairs, key=lambda p: (-p[1], p[0]))[:k]
+            for qid, pairs in out.items()
+        }
 
     return norm(a), norm(b)
 
