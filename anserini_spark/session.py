@@ -26,6 +26,14 @@ def get_spark(app: str = "anserini-spark", master: str | None = None,
     builder = SparkSession.builder.master(master)
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
+        # tmpfs shuffle: lz4 compress/decompress is pure CPU overhead
+        # (no disk or network to save) — measured 25% off the 8-core
+        # docvec stage wall, and it was the gap between the build's
+        # 2->8 scaling and the host ceiling (BENCH.md round 3). On a
+        # real cluster with network shuffle, leave compression ON.
+        builder = (builder
+                   .config("spark.shuffle.compress", "false")
+                   .config("spark.shuffle.spill.compress", "false"))
     return (
         builder
         .appName(app)
