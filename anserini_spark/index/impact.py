@@ -169,10 +169,13 @@ def search_impact(
         ).filter(F.col("term").isin(all_terms))
         fn = _segment_score_fn(boosts, (0.0, 0.0, False), seg_counts, k,
                                prune=True, shape_fns=shape_fns)
-        n_parts = min(512, 4 * max(1, len(seg_counts)))
-        hits = (
-            blocks.repartition(n_parts, "segment")
-            .groupBy("segment").applyInPandas(fn, schema=ARRAY_RESULT_SCHEMA)
+        from ..search.searcher import BATCH_REPARTITION_MIN_QUERIES
+
+        if len(boosts) >= BATCH_REPARTITION_MIN_QUERIES:
+            n_parts = min(512, 4 * max(1, len(seg_counts)))
+            blocks = blocks.repartition(n_parts, "segment")
+        hits = blocks.groupBy("segment").applyInPandas(
+            fn, schema=ARRAY_RESULT_SCHEMA
         )
         return _finalize_arrays(index, hits, k)
     q = spark.createDataFrame(rows, "qid int, term string, qval double")

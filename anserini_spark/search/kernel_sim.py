@@ -181,12 +181,15 @@ def search_kernel_similarity(
     ).filter(F.col("term").isin(sorted(shape_fns)))
     fn = _segment_score_fn(boosts, (0.0, 0.0, False), seg_counts, k, prune,
                            shape_fns=shape_fns)
-    # 4x partitions vs segments: avoid balls-in-bins straggler tasks
-    # (see search_kernel)
-    n_parts = min(512, 4 * max(1, len(seg_counts)))
-    hits = (
-        blocks.repartition(n_parts, "segment")
-        .groupBy("segment").applyInPandas(fn, schema=ARRAY_RESULT_SCHEMA)
+    # 4x partitions vs segments for batches: avoid balls-in-bins
+    # straggler tasks (see search_kernel)
+    from .searcher import BATCH_REPARTITION_MIN_QUERIES
+
+    if len(boosts) >= BATCH_REPARTITION_MIN_QUERIES:
+        n_parts = min(512, 4 * max(1, len(seg_counts)))
+        blocks = blocks.repartition(n_parts, "segment")
+    hits = blocks.groupBy("segment").applyInPandas(
+        fn, schema=ARRAY_RESULT_SCHEMA
     )
     # Lucene returns every doc matching >=1 query term, INCLUDING
     # docs whose clamped LM score is 0 (golden: QLD `1 Q0 WSJ_1 3

@@ -47,6 +47,7 @@ from .bm25 import BM25Params, BM25Scorer
 from .tieadjust import adjust_score_ties
 
 RESULT_SCHEMA = "qid int, doc_id long, score float"
+BATCH_REPARTITION_MIN_QUERIES = 16
 # kernel paths emit ONE row per (segment, qid) with packed arrays:
 # |segments| * |queries| rows instead of |segments| * |queries| * k —
 # the per-qid merge then runs as a numpy kernel, not a 30M-row
@@ -614,16 +615,19 @@ def search_kernel(
         params.k,
         prune,
     )
-    # over-provision the group hash space: with |segments| groups into
-    # |segments| reducers, balls-in-bins collisions put 2-3 segments on
-    # one task and leave a third of the cores idle (the straggler IS
-    # the batch latency). 4x partitions make collisions rare; the
-    # explicit repartition satisfies applyInPandas's clustering
-    # requirement, so no second shuffle is added.
-    n_parts = min(512, 4 * max(1, len(seg_counts)))
-    hits = (
-        blocks.repartition(n_parts, "segment")
-        .groupBy("segment").applyInPandas(fn, schema=ARRAY_RESULT_SCHEMA)
+    # over-provision the group hash space for BATCH workloads: with
+    # |segments| groups into |segments| reducers, balls-in-bins
+    # collisions put 2-3 segments on one task and leave a third of the
+    # cores idle (the straggler IS the batch latency). 4x partitions
+    # make collisions rare; the explicit repartition satisfies
+    # applyInPandas's clustering requirement, so no second shuffle is
+    # added. Small batches skip it — their per-task python work is
+    # tiny, so collision cost is below the extra exchange's latency.
+    if len(weights) >= BATCH_REPARTITION_MIN_QUERIES:
+        n_parts = min(512, 4 * max(1, len(seg_counts)))
+        blocks = blocks.repartition(n_parts, "segment")
+    hits = blocks.groupBy("segment").applyInPandas(
+        fn, schema=ARRAY_RESULT_SCHEMA
     )
     return _finalize_arrays(index, hits, params.k)
 
