@@ -82,10 +82,60 @@ def recall_at_k(run: DataFrame, qrels: DataFrame, k: int = 1000) -> float:
     return float(row or 0.0)
 
 
+def precision_at_k(run: DataFrame, qrels: DataFrame, k: int = 30) -> float:
+    """trec_eval ``P.k``: (#relevant in top k) / k, macro-averaged over
+    judged topics (the reference's regression YAMLs pin ``p30``)."""
+    rel = _rel(qrels)
+    n_topics = rel.select("qid").distinct().count()
+    if n_topics == 0:
+        return 0.0
+    found = (
+        run.filter(F.col("rank") <= k)
+        .join(rel, ["qid", "docid"])
+        .count()
+    )
+    return float(found) / (k * n_topics)
+
+
+def ndcg_at_k(run: DataFrame, qrels: DataFrame, k: int = 20) -> float:
+    """trec_eval ``ndcg_cut.k``: linear gain (the raw grade), log2(rank+1)
+    discount, ideal DCG from the topic's grades sorted descending and cut
+    at k; macro-averaged over topics with at least one positive grade
+    (the reference pins ``ndcg20`` for its graded web collections)."""
+    graded = qrels.filter(F.col("grade") > 0).select("qid", "docid", "grade")
+    # DCG@k from the run's ranks
+    dcg = (
+        run.filter(F.col("rank") <= k)
+        .join(graded, ["qid", "docid"])
+        .groupBy("qid")
+        .agg(F.sum(
+            F.col("grade").cast("double") / F.log2(F.col("rank") + 1.0)
+        ).alias("dcg"))
+    )
+    # IDCG@k: grades sorted descending per topic (docid tiebreak for
+    # determinism — grade order alone fixes the value)
+    w = Window.partitionBy("qid").orderBy(F.desc("grade"), F.asc("docid"))
+    idcg = (
+        graded.withColumn("i", F.row_number().over(w))
+        .filter(F.col("i") <= k)
+        .groupBy("qid")
+        .agg(F.sum(
+            F.col("grade").cast("double") / F.log2(F.col("i") + 1.0)
+        ).alias("idcg"))
+    )
+    per_q = idcg.join(dcg, "qid", "left").select(
+        (F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("idcg")).alias("ndcg")
+    )
+    row = per_q.agg(F.avg("ndcg")).collect()[0][0]
+    return float(row or 0.0)
+
+
 def evaluate(run: DataFrame, qrels: DataFrame) -> dict:
     """The reference's headline triple (BASELINE.md rows)."""
     return {
         "mrr@10": round(mrr_at_k(run, qrels, 10), 4),
         "map": round(map_at(run, qrels, 1000), 4),
         "recall@1000": round(recall_at_k(run, qrels, 1000), 4),
+        "p@30": round(precision_at_k(run, qrels, 30), 4),
+        "ndcg@20": round(ndcg_at_k(run, qrels, 20), 4),
     }

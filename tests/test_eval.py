@@ -2,7 +2,14 @@
 
 import pytest
 
-from anserini_spark.eval.metrics import evaluate, map_at, mrr_at_k, recall_at_k
+from anserini_spark.eval.metrics import (
+    evaluate,
+    map_at,
+    mrr_at_k,
+    ndcg_at_k,
+    precision_at_k,
+    recall_at_k,
+)
 
 
 @pytest.fixture(scope="module")
@@ -46,8 +53,35 @@ def test_recall(spark, case):
     assert abs(recall_at_k(run, qrels) - (1.0 + 0.5 + 0.0) / 3) < 1e-9
 
 
+def test_precision(spark, case):
+    # q1: 2 rel in top30 ; q2: 1 ; q3: 0  -> P@30 = (2/30 + 1/30 + 0)/3
+    run, qrels = case
+    assert abs(precision_at_k(run, qrels, 30) - (3 / 30) / 3) < 1e-9
+    # at k=2: q1 top-2 = {a,b} -> 1 rel ; q2 top-2 = {z,x} -> 1 rel
+    assert abs(precision_at_k(run, qrels, 2) - (0.5 + 0.5 + 0.0) / 3) < 1e-9
+
+
+def test_ndcg(spark, case):
+    # hand-computed (trec_eval ndcg_cut: linear gain, log2(rank+1)):
+    # q1 run a(g1)@1, c(g2)@3: DCG = 1/log2(2) + 2/log2(4) = 2.0
+    #    ideal grades [2,1]:   IDCG = 2/log2(2) + 1/log2(3)
+    # q2 run x(g1)@2:          DCG = 1/log2(3)
+    #    ideal grades [1,1]:   IDCG = 1/log2(2) + 1/log2(3)
+    # q3: DCG 0
+    import math
+
+    run, qrels = case
+    l3 = math.log2(3)
+    want = (2.0 / (2.0 + 1.0 / l3) + (1.0 / l3) / (1.0 + 1.0 / l3) + 0.0) / 3
+    assert abs(ndcg_at_k(run, qrels, 20) - want) < 1e-9
+    # cutoff below a hit drops it: at k=2, q1 loses doc c from DCG but
+    # the ideal is also cut at 2 (grades [2,1] both stay)
+    want1 = (1.0 / (2.0 + 1.0 / l3) + (1.0 / l3) / (1.0 + 1.0 / l3)) / 3
+    assert abs(ndcg_at_k(run, qrels, 2) - want1) < 1e-9
+
+
 def test_evaluate_bundle(spark, case):
     run, qrels = case
     m = evaluate(run, qrels)
-    assert set(m) == {"mrr@10", "map", "recall@1000"}
+    assert set(m) == {"mrr@10", "map", "recall@1000", "p@30", "ndcg@20"}
     assert m["mrr@10"] == 0.5

@@ -76,9 +76,12 @@ QRELS = [
 # pinned 4-decimal metrics (the regression gate — recomputed
 # independently below, so a pin mismatch means the ENGINE moved)
 PINNED = {
-    "bm25": {"mrr@10": 1.0, "map": 0.9167, "recall@1000": 0.9167},
-    "qld": {"mrr@10": 1.0, "map": 0.9167, "recall@1000": 0.9167},
-    "rm3": {"mrr@10": 1.0, "map": 0.9167, "recall@1000": 0.9167},
+    "bm25": {"mrr@10": 1.0, "map": 0.9167, "recall@1000": 0.9167,
+             "p@30": 0.075, "ndcg@20": 0.9601},
+    "qld": {"mrr@10": 1.0, "map": 0.9167, "recall@1000": 0.9167,
+            "p@30": 0.075, "ndcg@20": 0.9601},
+    "rm3": {"mrr@10": 1.0, "map": 0.9167, "recall@1000": 0.9167,
+            "p@30": 0.075, "ndcg@20": 0.9601},
 }
 
 
@@ -104,17 +107,24 @@ def _qrels_df(spark):
     )
 
 
-def _pure_python_metrics(run_rows, k_mrr=10, cutoff=1000):
+def pure_python_metrics(run_rows, qrels_rows, k_mrr=10, cutoff=1000,
+                        k_p=30, k_ndcg=20):
     """From-scratch recompute (no shared code with eval.metrics):
-    macro-averaged over judged topics."""
+    macro-averaged over judged topics; trec_eval conventions for P.k
+    (divide by k) and ndcg_cut.k (linear gain, log2(rank+1) discount,
+    ideal from sorted grades cut at k)."""
+    import math
+
     rel = defaultdict(set)
-    for q, d, g in QRELS:
+    grade = {}
+    for q, d, g in qrels_rows:
         if g > 0:
-            rel[q].add(f"https://reg/{d}" if d != "dZZ" else d)
+            rel[q].add(d)
+            grade[(q, d)] = g
     by_q = defaultdict(list)
     for r in run_rows:
         by_q[r["qid"]].append((r["rank"], r["docid"]))
-    mrr, ap, rec = [], [], []
+    mrr, ap, rec, prec, ndcg = [], [], [], [], []
     for q, relset in rel.items():
         ranked = sorted(by_q.get(q, []))
         rr = 0.0
@@ -130,12 +140,27 @@ def _pure_python_metrics(run_rows, k_mrr=10, cutoff=1000):
                 sump += hits / rank
         ap.append(sump / len(relset))
         rec.append(hits / len(relset))
+        prec.append(sum(1 for rank, d in ranked
+                        if rank <= k_p and d in relset) / k_p)
+        dcg = sum(grade[(q, d)] / math.log2(rank + 1)
+                  for rank, d in ranked if rank <= k_ndcg and d in relset)
+        ideal = sorted((grade[(q, d)] for d in relset), reverse=True)[:k_ndcg]
+        idcg = sum(g / math.log2(i + 2) for i, g in enumerate(ideal))
+        ndcg.append(dcg / idcg if idcg > 0 else 0.0)
     n = len(rel)
     return {
         "mrr@10": round(sum(mrr) / n, 4),
         "map": round(sum(ap) / n, 4),
         "recall@1000": round(sum(rec) / n, 4),
+        "p@30": round(sum(prec) / n, 4),
+        "ndcg@20": round(sum(ndcg) / n, 4),
     }
+
+
+def _pure_python_metrics(run_rows):
+    qrels = [(q, f"https://reg/{d}" if d != "dZZ" else d, g)
+             for q, d, g in QRELS]
+    return pure_python_metrics(run_rows, qrels)
 
 
 def _run_for(sim, reg_index):
