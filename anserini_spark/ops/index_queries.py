@@ -40,7 +40,8 @@ B = 0.4
 MU = 1000.0
 
 
-def _gate_index(spark: SparkSession, sf_dir: str) -> str:
+def _gate_index(spark: SparkSession, sf_dir: str,
+                positions: bool = False) -> str:
     """Build (or reuse — fingerprint-keyed dir + resumable manifest)
     a ws-analyzer block index over the sf documents table."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -53,7 +54,8 @@ def _gate_index(spark: SparkSession, sf_dir: str) -> str:
         F.bit_xor(F.xxhash64("doc_id", "text")).alias("h"),
     ).collect()[0]
     tag = (f"{os.path.basename(os.path.normpath(sf_dir))}"
-           f"_{fp['n']}_{fp['m']}_{(fp['h'] or 0) & 0xFFFFFFFFFFFF:x}")
+           f"_{fp['n']}_{fp['m']}_{(fp['h'] or 0) & 0xFFFFFFFFFFFF:x}"
+           f"{'_pos' if positions else ''}")
     out_dir = f"/tmp/anserini_gate_idx_{tag}"
     corpus = docs.select(
         F.format_string("%020d", F.col("doc_id")).alias("url"),
@@ -63,7 +65,8 @@ def _gate_index(spark: SparkSession, sf_dir: str) -> str:
     build_index(
         spark, corpus,
         IndexConfig(out_dir=out_dir, analyzer="ws",
-                    doc_partitions=8, block_partitions=16),
+                    doc_partitions=8, block_partitions=16,
+                    store_positions=positions),
     )
     return out_dir
 
@@ -100,6 +103,146 @@ def qld_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lucene LMDirichletSimilarity semantics) through the same block
     index + MaxScore kernel."""
     return _index_topk(spark, sf_dir, "qld", mu=MU)
+
+
+def sdm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-query Sequential Dependence Model top-10 through a
+    POSITIONAL block index (`-storePositions`) + the per-segment SDM
+    window kernel (`search/sdm.py`, `SdmQueryGenerator.java:36-88`
+    weights 0.85/0.1/0.05, ordered slop 1 / unordered window 8).
+    The DuckDB oracle rebuilds positions with a window function and
+    counts the same ordered/unordered position pairs in SQL."""
+    from ..search.bm25 import BM25Params
+    from ..search.sdm import search_sdm
+
+    idx = InvertedIndex(spark, _gate_index(spark, sf_dir, positions=True))
+    hits = search_sdm(idx, _fixed_queries(), BM25Params(k1=K1, b=B, k=TOPK))
+    return hits.select(
+        "qid",
+        F.col("docid").cast("long").alias("doc_id"),
+        "rank",
+        "score",
+    ).orderBy("qid", "rank")
+
+
+def _pair_values_clause() -> str:
+    """Consecutive query-term pairs (qid, pid, term_a, term_b) of the
+    fixed ws-analyzed queries."""
+    rows = []
+    for qid, query in _fixed_queries().items():
+        toks = query.split()
+        for i in range(len(toks) - 1):
+            rows.append(f"({qid}, {i}, '{toks[i]}', '{toks[i + 1]}')")
+    return ", ".join(rows)
+
+
+def _sdm_oracle(k1: float, b: float) -> str:
+    """SDM in pure SQL: bag part = Lucene-shape BM25 (no (k1+1)
+    numerator); each consecutive pair is a pseudo-term whose tf is the
+    ordered (1 <= Δ <= 2) / unordered (Δ != 0, |Δ| <= 8) position-pair
+    count, scored with the same tf-part at its exact pair df."""
+    c0, cb = k1 * (1 - b), k1 * b
+    return f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+),
+tokp AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY rawpos) - 1 AS pos
+  FROM (
+    SELECT doc_id, unnest(str_split(text, ' ')) AS term,
+           generate_subscripts(str_split(text, ' '), 1) AS rawpos
+    FROM docs
+  )
+  WHERE term <> ''
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tokp GROUP BY doc_id, term
+),
+dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS doclen
+  FROM tokp GROUP BY doc_id
+),
+q(qid, term) AS (VALUES {_values_clause()}),
+qp(qid, pid, term_a, term_b) AS (VALUES {_pair_values_clause()}),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(doclen) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+),
+dfreq AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS dfreq FROM tf
+  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term
+),
+bag AS (
+  SELECT q.qid, tf.doc_id,
+         sum(
+           ln(1.0 + (s.n - d.dfreq + 0.5) / (d.dfreq + 0.5))
+           * CAST(tf.tf AS DOUBLE)
+           / (CAST(tf.tf AS DOUBLE) + {c0!r}
+              + {cb!r} / s.avgdl * CAST(dl.doclen AS DOUBLE))
+         ) AS bag
+  FROM q
+  JOIN dfreq d ON q.term = d.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id
+),
+pairj AS (
+  SELECT qp.qid, qp.pid, a.doc_id,
+         CAST(sum(CASE WHEN b.pos - a.pos BETWEEN 1 AND 2
+                       THEN 1 ELSE 0 END) AS DOUBLE) AS o,
+         CAST(sum(CASE WHEN b.pos <> a.pos AND abs(b.pos - a.pos) <= 8
+                       THEN 1 ELSE 0 END) AS DOUBLE) AS u
+  FROM qp
+  JOIN tokp a ON a.term = qp.term_a
+  JOIN tokp b ON b.term = qp.term_b AND b.doc_id = a.doc_id
+  GROUP BY qp.qid, qp.pid, a.doc_id
+),
+pdf AS (
+  SELECT qid, pid,
+         CAST(sum(CASE WHEN o > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_o,
+         CAST(sum(CASE WHEN u > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_u
+  FROM pairj GROUP BY qid, pid
+),
+pairsc AS (
+  SELECT pj.qid, pj.doc_id,
+         sum(
+           CASE WHEN pj.o > 0 THEN
+             0.1 * ln(1.0 + (s.n - pdf.df_o + 0.5) / (pdf.df_o + 0.5))
+             * pj.o / (pj.o + {c0!r}
+                       + {cb!r} / s.avgdl * CAST(dl.doclen AS DOUBLE))
+           ELSE 0.0 END
+           + CASE WHEN pj.u > 0 THEN
+             0.05 * ln(1.0 + (s.n - pdf.df_u + 0.5) / (pdf.df_u + 0.5))
+             * pj.u / (pj.u + {c0!r}
+                       + {cb!r} / s.avgdl * CAST(dl.doclen AS DOUBLE))
+           ELSE 0.0 END
+         ) AS pairs
+  FROM pairj pj
+  JOIN pdf ON pdf.qid = pj.qid AND pdf.pid = pj.pid
+  JOIN dl ON dl.doc_id = pj.doc_id
+  CROSS JOIN stats s
+  GROUP BY pj.qid, pj.doc_id
+),
+scored AS (
+  SELECT b.qid, b.doc_id,
+         0.85 * b.bag + coalesce(p.pairs, 0.0) AS score
+  FROM bag b
+  LEFT JOIN pairsc p ON p.qid = b.qid AND p.doc_id = b.doc_id
+)
+SELECT qid, doc_id, rank, round(score, 4) AS score
+FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank,
+         score
+  FROM scored
+)
+WHERE rank <= {TOPK}
+"""
 
 
 def _with_tie_adjust(base_sql: str) -> str:
@@ -156,4 +299,5 @@ def oracle_sqls() -> dict[str, str]:
     return {
         "bm25_index_topk": _with_tie_adjust(_bm25_oracle(K1, B)),
         "qld_index_topk": _with_tie_adjust(_qld_oracle(MU)),
+        "sdm_topk": _with_tie_adjust(_sdm_oracle(K1, B)),
     }
