@@ -266,6 +266,117 @@ def _assign_ids_kernel(store_positions: bool = False,
     return fn
 
 
+def _mapside_blocks_kernel(cfg: IndexConfig):
+    """Map-side posting-block encoder (blocks-stage map-side combine).
+
+    Each docvec partition holds one segment (or whole/partial segments
+    under parquet split/coalesce) with doc_ids ascending, so every
+    (term, segment) posting run this task sees is already complete and
+    doc-sorted: blocks are encoded HERE, before any shuffle, and only
+    the compressed block rows (≈ final index bytes) cross the wire for
+    file layout. The round-3 design shuffled one row per posting (term
+    string + ~20 bytes each); at 10^12-doc scale that posting shuffle
+    is the build's dominant network/memory-bandwidth cost, while the
+    encoded blocks are ~2 orders of magnitude smaller. Within-task
+    ordering is by Arrow dictionary code (cheap), not term string —
+    the layout shuffle's sortWithinPartitions restores term order.
+
+    Runs under ``mapInArrow``: term flatten / dictionary-encode and
+    the posting explode are C++-side; only lexsort + encode_blocks
+    (vectorized numpy) run in Python. Memory is bounded by
+    ``blocks_flush_postings`` (default 8M postings ≈ 200 MB): a flush
+    emits blocks for everything buffered, at worst splitting one
+    (term, segment, bucket) run into an extra partial block.
+    """
+    import pyarrow as pa
+
+    block_size = cfg.block_size
+    store_pos = cfg.store_positions
+    flush_at = int(cfg.extra.get("blocks_flush_postings", 8_000_000))
+    pa_fields = [
+        pa.field("term", pa.string()),
+        pa.field("segment", pa.int32()),
+        pa.field("first_doc", pa.int64()),
+        pa.field("last_doc", pa.int64()),
+        pa.field("n", pa.int32()),
+        pa.field("max_tf", pa.int32()),
+        pa.field("min_dl", pa.int64()),
+        pa.field("sum_tf", pa.int64()),
+        pa.field("docs_bin", pa.binary()),
+        pa.field("tfs_bin", pa.binary()),
+        pa.field("dls_bin", pa.binary()),
+    ]
+    if store_pos:
+        pa_fields.append(pa.field("pos_bin", pa.binary()))
+    pa_schema = pa.schema(pa_fields)
+
+    def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        terms_acc: list = []   # flattened StringArray chunks
+        doc_acc: list = []
+        seg_acc: list = []
+        tf_acc: list = []
+        dl_acc: list = []
+        pos_acc: list = []
+        count = 0
+
+        def flush() -> Iterator["pa.RecordBatch"]:
+            nonlocal count
+            if count == 0:
+                return
+            flat = pa.concat_arrays([a.combine_chunks() if isinstance(
+                a, pa.ChunkedArray) else a for a in terms_acc])
+            denc = pc.dictionary_encode(flat)
+            codes = denc.indices.to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            vocab = denc.dictionary.to_numpy(zero_copy_only=False)
+            doc = np.concatenate(doc_acc)
+            seg = np.concatenate(seg_acc)
+            tf = np.concatenate(tf_acc)
+            dl = np.concatenate(dl_acc)
+            order = np.lexsort((doc, seg, codes))
+            pos = None
+            if store_pos:
+                pos = np.concatenate(pos_acc)[order]
+            df = encode_blocks(
+                vocab[codes[order]], seg[order], doc[order], tf[order],
+                dl[order], block_size, positions=pos,
+            )
+            terms_acc.clear(); doc_acc.clear(); seg_acc.clear()
+            tf_acc.clear(); dl_acc.clear(); pos_acc.clear()
+            count = 0
+            if len(df):
+                yield pa.RecordBatch.from_pandas(
+                    df, schema=pa_schema, preserve_index=False)
+
+        for b in batches:
+            tcol = b.column("terms")
+            lens = pc.list_value_length(tcol).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            if lens.sum() == 0:
+                continue
+            terms_acc.append(tcol.flatten())
+            tf_acc.append(b.column("tfs").flatten().to_numpy(
+                zero_copy_only=False).astype(np.int64))
+            doc_acc.append(np.repeat(
+                b.column("doc_id").to_numpy(zero_copy_only=False), lens))
+            seg_acc.append(np.repeat(
+                b.column("segment").to_numpy(zero_copy_only=False), lens))
+            dl_acc.append(np.repeat(
+                b.column("doclen").to_numpy(zero_copy_only=False), lens))
+            if store_pos:
+                pos_acc.append(b.column("positions").flatten().to_numpy(
+                    zero_copy_only=False))
+            count += int(lens.sum())
+            if count >= flush_at:
+                yield from flush()
+        yield from flush()
+
+    return fn
+
+
 def _blocks_kernel(cfg: IndexConfig):
     block_size = cfg.block_size
     store_pos = cfg.store_positions
@@ -404,50 +515,24 @@ def build_index(spark: SparkSession, corpus: DataFrame, cfg: IndexConfig) -> dic
     # ---- stage 3: posting blocks ---------------------------------------
     if not man.done("blocks"):
         t0 = time.time()
-        # wide Arrow batches amortize per-batch kernel overhead on the
-        # narrow posting rows (measured ~30% stage speedup vs the 10k
-        # default; do NOT raise it for the html-wide docvec stage)
-        prev_batch = spark.conf.get(
-            "spark.sql.execution.arrow.maxRecordsPerBatch", "10000"
-        )
-        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
-                       str(cfg.extra.get("blocks_arrow_batch", 100_000)))
+        # map-side combine (_mapside_blocks_kernel): blocks are encoded
+        # inside each docvec partition BEFORE the shuffle — only the
+        # compressed block rows move, keyed by (term, doc-range bucket)
+        # for term-pruned scan layout. The posting explode never
+        # leaves the Arrow kernel.
+        src_cols = ["doc_id", "segment", "doclen", "terms", "tfs"]
         if cfg.store_positions:
-            # positional postings: positions ride the shuffle so the
-            # block files carry pos_bin (SDM's kernel path needs it)
-            exploded = docvec.select(
-                "doc_id", "segment", "doclen",
-                F.explode(F.arrays_zip("terms", "tfs", "positions"))
-                .alias("e"),
-            ).select(
-                F.col("e.terms").alias("term"),
-                F.col("segment"),
-                F.col("doc_id"),
-                F.col("e.tfs").alias("tf"),
-                F.col("doclen"),
-                F.col("e.positions").alias("pos"),
-            )
-        else:
-            exploded = docvec.select(
-                "doc_id", "segment", "doclen",
-                F.explode(F.arrays_zip("terms", "tfs")).alias("e"),
-            ).select(
-                F.col("e.terms").alias("term"),
-                F.col("segment"),
-                F.col("doc_id"),
-                F.col("e.tfs").alias("tf"),
-                F.col("doclen"),
-            )
+            src_cols.append("positions")
         postings = (
-            exploded
+            docvec.select(*src_cols)
+            .mapInArrow(_mapside_blocks_kernel(cfg),
+                        schema=blocks_schema(cfg.store_positions))
             .repartition(
                 cfg.block_partitions,
                 F.col("term"),
-                F.shiftright(F.col("doc_id"), RANGE_SHIFT),
+                F.shiftright(F.col("first_doc"), RANGE_SHIFT),
             )
-            .sortWithinPartitions("term", "doc_id")
-            .mapInPandas(_blocks_kernel(cfg),
-                         schema=blocks_schema(cfg.store_positions))
+            .sortWithinPartitions("term", "segment", "first_doc")
         )
         from pyspark.sql import Observation
 
@@ -458,8 +543,6 @@ def build_index(spark: SparkSession, corpus: DataFrame, cfg: IndexConfig) -> dic
             F.sum("n").alias("postings"),
         )
         postings.write.mode("overwrite").parquet(blocks_path)
-        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
-                       prev_batch)
         wall = time.time() - t0
         m = obs.get
         man.record(
