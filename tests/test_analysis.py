@@ -230,3 +230,142 @@ def test_krovetz_behavior_table():
     bad = {w: (kstem(w), want) for w, want in table.items()
            if kstem(w) != want}
     assert not bad, bad
+
+
+def test_krovetz_behavior_table_extended():
+    """273-row KStem behavior table (round-4 verdict task 7), grouped by
+    morphological family and derived from the published algorithm
+    (kstem.c / Krovetz SIGIR'93) over the 10.5K-headword lexicon:
+
+    * lookup-first contract: a word that IS a headword returns
+      unchanged, even when a rule could strip it (collection, payment,
+      teacher, security, writing, saving...);
+    * kstem.c length guards: past-tense needs wordlength > 4, so
+      "used" stays "used";
+    * -ies restore-on-miss, e-restore, consonant undoubling,
+      irregular map, and every derivational family are exercised.
+    """
+    from anserini_spark.analysis.krovetz import kstem
+
+    table = {}
+    # plural_s
+    table.update({ "tables": "table", "systems": "system",
+        "engines": "engine", "documents": "document", "results": "result",
+        "values": "value", "servers": "server", "networks": "network",
+        "records": "record", "fields": "field", "pages": "page",
+        "links": "link", "users": "user", "files": "file", "dogs": "dog",
+        "writers": "writer", "horses": "horse",})
+    # plural_es
+    table.update({ "classes": "class", "processes": "process",
+        "matches": "match", "branches": "branch", "bushes": "bush",
+        "foxes": "fox", "buzzes": "buzz", "glasses": "glass",
+        "addresses": "address", "crashes": "crash", "switches": "switch",
+        "taxes": "tax", "churches": "church", "boxes": "box",})
+    # plural_ies
+    table.update({ "cherries": "cherry", "berries": "berry",
+        "duties": "duty", "counties": "county", "galaxies": "galaxy",
+        "theories": "theory", "memories": "memory", "victories": "victory",
+        "entries": "entry", "queries": "query", "libraries": "library",
+        "histories": "history", "strategies": "strategy",
+        "technologies": "technology", "territories": "territory",
+        "universities": "university", "properties": "property",
+        "authorities": "authority", "economies": "economy",
+        "agencies": "agency", "societies": "society",})
+    # ies_restore
+    table.update({ "ties": "tie", "pies": "pie", "lies": "lie",
+        "dies": "die", "species": "species", "movies": "movie",
+        "cookies": "cookie",})
+    # past
+    table.update({ "jumped": "jump", "helped": "help", "turned": "turn",
+        "played": "play", "opened": "open", "looked": "look",
+        "called": "call", "moved": "move", "saved": "save",
+        "closed": "close", "named": "name", "loved": "love",
+        "hoped": "hope", "filed": "file", "fired": "fire",
+        "dropped": "drop", "grabbed": "grab", "shipped": "ship",
+        "begged": "beg", "hugged": "hug", "tripped": "trip",
+        "married": "marry", "hurried": "hurry", "studied": "study",
+        "copied": "copy", "worried": "worry", "buried": "bury",
+        "emptied": "empty", "applied": "apply", "denied": "deny",
+        "relied": "rely", "used": "used", "agreed": "agree",
+        "carried": "carry", "planned": "plan", "stopped": "stop",
+        "wanted": "want", "walked": "walk",})
+    # ing
+    table.update({ "reading": "read", "working": "work", "playing": "play",
+        "jumping": "jump", "hoping": "hope", "moving": "move",
+        "closing": "close", "driving": "drive", "riding": "ride",
+        "shining": "shine", "sitting": "sit", "getting": "get",
+        "putting": "put", "cutting": "cut", "digging": "dig",
+        "dropping": "drop", "shopping": "shop", "planning": "plan",
+        "spinning": "spin", "winning": "win", "beginning": "begin",
+        "feeling": "feel", "landing": "land", "making": "make",
+        "taking": "take", "swimming": "swim",})
+    # ing_lexicalized
+    table.update({ "evening": "evening", "meaning": "meaning",
+        "wedding": "wedding", "meeting": "meeting", "painting": "painting",
+        "warning": "warning", "writing": "writing", "saving": "saving",
+        "building": "building", "morning": "morning", "running": "running",})
+    # ly
+    table.update({ "badly": "bad", "boldly": "bold", "bravely": "brave",
+        "calmly": "calm", "clearly": "clear", "deeply": "deep",
+        "easily": "easy", "fairly": "fair", "freely": "free",
+        "gladly": "glad", "kindly": "kind", "loudly": "loud",
+        "neatly": "neat", "proudly": "proud", "rarely": "rare",
+        "safely": "safe", "softly": "soft", "steadily": "steady",
+        "warmly": "warm", "happily": "happy", "quickly": "quick",
+        "slowly": "slow", "lately": "lately",})
+    # ness
+    table.update({ "darkness": "dark", "kindness": "kind",
+        "weakness": "weak", "awareness": "aware", "brightness": "bright",
+        "coldness": "cold", "sadness": "sad", "goodness": "goodness",
+        "happiness": "happiness",})
+    # ity
+    table.update({ "scarcity": "scarce", "purity": "pure",
+        "maturity": "mature", "sanity": "sanity", "density": "density",
+        "intensity": "intensity", "security": "security",
+        "abilities": "ability",})
+    # er
+    table.update({ "bigger": "bigger", "smaller": "small", "faster": "fast",
+        "stronger": "strong", "larger": "large", "colder": "cold",
+        "warmer": "warm", "teacher": "teacher", "builder": "build",
+        "runner": "runner", "dancer": "dance", "singer": "singer",})
+    # ion
+    table.update({ "creation": "creation", "rotation": "rotate",
+        "education": "education", "formation": "formation",
+        "detection": "detect", "inspection": "inspect",
+        "collection": "collection", "protection": "protection",
+        "prediction": "prediction", "selection": "selection",
+        "direction": "direction", "invention": "invention",})
+    # ive_ment_al_ize_ble
+    table.update({ "attractive": "attractive", "effective": "effective",
+        "protective": "protect", "supportive": "support",
+        "payment": "payment", "movement": "movement", "agreement": "agree",
+        "shipment": "shipment", "treatment": "treatment",
+        "management": "management", "development": "development",
+        "employment": "employment", "placement": "place",
+        "arrival": "arrival", "approval": "approval", "removal": "removal",
+        "refusal": "refusal", "survival": "survival",
+        "modernize": "modernize", "normalize": "normal",
+        "summarize": "summary", "readable": "readable",
+        "breakable": "breakable", "washable": "washable",})
+    # irregular
+    table.update({ "knives": "knife", "wolves": "wolf", "dying": "die",
+        "lying": "lie", "children": "child", "feet": "foot",
+        "geese": "goose", "mice": "mouse", "teeth": "tooth",
+        "halves": "half", "leaves": "leaf", "thieves": "thief",
+        "does": "do", "goes": "go", "went": "go", "gone": "go",})
+    # passthrough
+    table.update({ "ring": "ring", "king": "king", "thing": "thing",
+        "string": "string", "spring": "spring", "sing": "sing",
+        "wing": "wing", "bring": "bring", "sting": "sting",
+        "swing": "swing", "red": "red", "bed": "bed", "seed": "seed",
+        "speed": "speed", "need": "need", "feed": "feed", "bless": "bless",
+        "chess": "chess", "press": "press", "dress": "dress",
+        "news": "news", "basis": "basis", "crisis": "crisis",
+        "tennis": "tennis", "campus": "campus", "status": "status",
+        "bonus": "bonus", "virus": "virus", "focus": "focus",
+        "series": "series", "analysis": "analysis", "this": "this",
+        "cities": "city", "buses": "bus", "schedules": "schedule",})
+    assert len(table) >= 200
+    bad = {w: (kstem(w), want) for w, want in table.items()
+           if kstem(w) != want}
+    assert not bad, bad
