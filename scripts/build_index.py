@@ -39,6 +39,12 @@ def main() -> None:
     ap.add_argument("--from-html", action="store_true",
                     help="index from the html column (runs the HTML->text "
                          "extraction kernel) instead of pre-extracted text")
+    ap.add_argument("--warmup", action="store_true",
+                    help="run a tiny throwaway build first so the timed "
+                         "stages measure steady state: a fresh local JVM "
+                         "pays one-time parquet/codegen JIT + python-worker "
+                         "import costs (~10-40 s) that long-lived cluster "
+                         "executors never see per-job")
     args = ap.parse_args()
 
     from anserini_spark.index.build import IndexConfig, build_index
@@ -81,6 +87,16 @@ def main() -> None:
         from anserini_spark.corpus.json_ingest import read_json_collection
 
         corpus = read_json_collection(spark, args.corpus)
+    if args.warmup:
+        import shutil
+        import tempfile
+
+        from dataclasses import replace
+
+        wdir = tempfile.mkdtemp(prefix="warmup_idx_")
+        wcfg = replace(cfg, out_dir=wdir)
+        build_index(spark, corpus.limit(2000), wcfg)
+        shutil.rmtree(wdir, ignore_errors=True)
     man = build_index(spark, corpus, cfg)
     json.dump(man, sys.stdout, indent=2, default=str)
     print()

@@ -186,6 +186,12 @@ spark.stop()
                 "--corpus", corpus_dir, "--out", out,
                 "--partitions", str(n4 * 8), "--from-html",
                 "--block-partitions", str(n4 * 16),
+                # steady-state protocol (round 4): a fresh local JVM
+                # pays one-time JIT/import costs that long-lived
+                # cluster executors never see per-job; a tiny
+                # throwaway build first makes the manifests measure
+                # the data path, identically on both legs
+                "--warmup",
                 pin_cpus=(cores if args.pin else None),
             )
             with open(os.path.join(out, "manifest.json")) as f:
