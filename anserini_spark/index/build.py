@@ -62,7 +62,11 @@ from pyspark.sql import types as T
 from ..analysis.analyzer import analyze, stem_mode
 from .blocks import RANGE_SHIFT, encode_blocks
 
-SEG_SHIFT = 40  # doc_id = (segment << SEG_SHIFT) | row_in_segment
+# doc_id = (segment << SEG_SHIFT) | row_in_segment. 33 matches the
+# partition/record split of monotonically_increasing_id, so the docvec
+# stage assigns ids entirely JVM-side (round 4); 2^33 docs/segment and
+# 2^31 segments bound nothing real at 10^12 docs.
+SEG_SHIFT = 33
 SEG_MASK = (1 << SEG_SHIFT) - 1
 
 _POSITIONS_FIELD = T.StructField(
@@ -225,43 +229,6 @@ def _analyze_kernel(cfg: IndexConfig):
                     out["contents"].append(text or "")
             if out["url"]:
                 yield pd.DataFrame(out)
-
-    return fn
-
-
-def _assign_ids_kernel(store_positions: bool = False,
-                       store_contents: bool = False):
-    """Post-sort kernel: duplicate-url drop (sorted => adjacent, cf.
-    `IndexCollection.java:213-215`) + (segment << 40 | row) id
-    assignment by sorted position."""
-    cols = ["doc_id", "url", "segment", "doclen", "terms", "tfs"]
-    if store_positions:
-        cols = cols + ["positions"]
-    if store_contents:
-        cols = cols + ["contents"]
-
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        base = pid << SEG_SHIFT
-        row = 0
-        prev_url = None
-        for b in batches:
-            keep = []
-            urls = b["url"]
-            for i, url in enumerate(urls):
-                if url == prev_url:
-                    continue
-                prev_url = url
-                keep.append(i)
-            if not keep:
-                continue
-            sub = b.iloc[keep].reset_index(drop=True)
-            sub.insert(0, "doc_id", [base + row + i for i in range(len(sub))])
-            sub.insert(2, "segment", pid)
-            row += len(sub)
-            yield sub[cols]
 
     return fn
 
@@ -482,17 +449,33 @@ def build_index(spark: SparkSession, corpus: DataFrame, cfg: IndexConfig) -> dic
         from pyspark.sql import Observation
 
         obs = Observation("docvec_metrics")
+        # url dedup (`IndexCollection.java:213-215`) + id assignment are
+        # fully JVM-side (round 4): the explicit repartition's
+        # hash(url, P) already satisfies the groupBy's clustering, so
+        # the dedup agg adds NO second exchange, and
+        # monotonically_increasing_id IS (partition << 33 | row) — the
+        # docvec's (segment, row) id layout — computed after the
+        # within-partition url sort. The analyzed arrays never take a
+        # second JVM->python round trip (was ~20% of the stage wall).
+        other_cols = ["doclen", "terms", "tfs"]
+        if cfg.store_positions:
+            other_cols.append("positions")
+        if cfg.store_contents:
+            other_cols.append("contents")
         df = (
             df.select("url", src)
             .mapInPandas(_analyze_kernel(cfg),
                          schema=analyzed_schema(cfg.store_positions,
                                                 cfg.store_contents))
             .repartition(cfg.doc_partitions, "url")
+            .groupBy("url")
+            .agg(*[F.first(c).alias(c) for c in other_cols])
             .sortWithinPartitions("url")
-            .mapInPandas(_assign_ids_kernel(cfg.store_positions,
-                                            cfg.store_contents),
-                         schema=docvec_schema(cfg.store_positions,
-                                              cfg.store_contents))
+            .withColumn("doc_id", F.monotonically_increasing_id())
+            .withColumn(
+                "segment",
+                F.shiftrightunsigned("doc_id", SEG_SHIFT).cast("int"))
+            .select("doc_id", "url", "segment", *other_cols)
             .observe(obs, F.count(F.lit(1)).alias("docs"))
         )
         df.write.mode("overwrite").parquet(docvec_path)
@@ -504,6 +487,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, cfg: IndexConfig) -> dic
             docs=n_docs,
             docs_per_sec=round(n_docs / max(wall, 1e-9), 1),
             bytes=_dir_bytes(docvec_path),
+            seg_shift=SEG_SHIFT,
             lineage={"stage": "docvec", "analyzer": cfg.analyzer,
                      "lang": cfg.lang, "partitions": cfg.doc_partitions},
         )

@@ -103,6 +103,7 @@ def build_impact_index(
         man.record(
             "docvec",
             wall_s=round(time.time() - t0, 3),
+            seg_shift=SEG_SHIFT,
             docs=spark.read.parquet(docvec_path).count(),
             bytes=_dir_bytes(docvec_path),
             lineage={"stage": "docvec", "analyzer": "impact",

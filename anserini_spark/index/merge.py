@@ -32,8 +32,8 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from .blocks import RANGE_SHIFT
-from .build import (IndexConfig, _Manifest, _blocks_kernel, _dir_bytes,
-                    blocks_schema)
+from .build import (SEG_SHIFT, IndexConfig, _Manifest, _blocks_kernel,
+                    _dir_bytes, blocks_schema)
 
 
 def merge_indexes(spark: SparkSession, slice_dirs: list[str], cfg: IndexConfig) -> dict:
@@ -62,6 +62,12 @@ def merge_indexes(spark: SparkSession, slice_dirs: list[str], cfg: IndexConfig) 
         has_pos = set()
         next_seg = 0
         for si, d in enumerate(slice_dirs):
+            with open(os.path.join(d, "manifest.json")) as f:
+                slice_shift = json.load(f)["docvec"].get("seg_shift", 40)
+            if slice_shift != SEG_SHIFT:
+                raise ValueError(
+                    f"slice {d} was built with SEG_SHIFT={slice_shift}, "
+                    f"engine uses {SEG_SHIFT}; rebuild the slice")
             dv = spark.read.parquet(os.path.join(d, "docvec.parquet"))
             has_pos.add("positions" in dv.columns)
             with open(os.path.join(d, "stats.json")) as f:
@@ -73,11 +79,11 @@ def merge_indexes(spark: SparkSession, slice_dirs: list[str], cfg: IndexConfig) 
                 *[F.lit(x) for kv in remap.items() for x in kv]
             )
             seg = mapping[F.col("segment")].cast("int")
-            # doc ids are re-namespaced to the merged segment id so the
-            # (segment << 40 | row) invariant holds globally
+            # doc ids are re-namespaced to the merged segment id so
+            # the (segment << SEG_SHIFT | row) invariant holds globally
             doc = (
-                seg.cast("long") * F.lit(1 << 40)
-                + F.col("doc_id").bitwiseAND(F.lit((1 << 40) - 1))
+                seg.cast("long") * F.lit(1 << SEG_SHIFT)
+                + F.col("doc_id").bitwiseAND(F.lit((1 << SEG_SHIFT) - 1))
             )
             cols = [
                 doc.alias("doc_id"),
@@ -207,6 +213,7 @@ def merge_indexes(spark: SparkSession, slice_dirs: list[str], cfg: IndexConfig) 
                 total_docs += json.load(f)["docvec"]["docs"]
         with open(os.path.join(slice_dirs[0], "manifest.json")) as f:
             src_man = json.load(f)
-        man.record("docvec", wall_s=0.0, merged_from=slice_dirs,
+        man.record("docvec", wall_s=0.0, seg_shift=SEG_SHIFT,
+                   merged_from=slice_dirs,
                    docs=total_docs, lineage=src_man["docvec"]["lineage"])
     return man.entries

@@ -53,9 +53,11 @@ def _gate_index(spark: SparkSession, sf_dir: str,
         # xor, not sum — sum of 64-bit hashes overflows under ANSI mode)
         F.bit_xor(F.xxhash64("doc_id", "text")).alias("h"),
     ).collect()[0]
+    from ..index.build import SEG_SHIFT
+
     tag = (f"{os.path.basename(os.path.normpath(sf_dir))}"
            f"_{fp['n']}_{fp['m']}_{(fp['h'] or 0) & 0xFFFFFFFFFFFF:x}"
-           f"{'_pos' if positions else ''}")
+           f"_s{SEG_SHIFT}{'_pos' if positions else ''}")
     out_dir = f"/tmp/anserini_gate_idx_{tag}"
     corpus = docs.select(
         F.format_string("%020d", F.col("doc_id")).alias("url"),

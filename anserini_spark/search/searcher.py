@@ -75,6 +75,16 @@ class InvertedIndex:
         with open(os.path.join(index_dir, "manifest.json")) as f:
             self.manifest = json.load(f)
         self.analyzer = self.manifest["docvec"]["lineage"]["analyzer"]
+        # id-layout versioning: indexes record the SEG_SHIFT they were
+        # built with (absent = the pre-round-4 40-bit layout). A shift
+        # mismatch would silently mis-slot every doc in the dense
+        # per-segment accumulators, so refuse to load instead.
+        built_shift = self.manifest["docvec"].get("seg_shift", 40)
+        if built_shift != SEG_SHIFT:
+            raise ValueError(
+                f"index {index_dir} was built with SEG_SHIFT="
+                f"{built_shift}, engine uses {SEG_SHIFT}; rebuild the "
+                "index (stale cached dir?)")
         self._cache = cache
         self._cache_blocks = cache_blocks
         self._dfs: Dict[str, DataFrame] = {}
