@@ -46,6 +46,10 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=1000)
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--repeats", type=int, default=5)
+    ap.add_argument("--no-bench-append", action="store_true",
+                    help="print the JSON line only; skip the BENCH.md "
+                         "section (scripts/batch_curve.py aggregates "
+                         "multiple runs into one table)")
     args = ap.parse_args()
 
     # local-mode batch runs shuffle tens of millions of rows through
@@ -106,6 +110,8 @@ def main() -> None:
     }
     print(json.dumps(report))
 
+    if args.no_bench_append:
+        return
     stamp = time.strftime("%Y-%m-%d %H:%M:%S")
     with open(os.path.join(REPO, "BENCH.md"), "a") as f:
         f.write(f"""

@@ -45,6 +45,17 @@ def main() -> None:
                          "pays one-time parquet/codegen JIT + python-worker "
                          "import costs (~10-40 s) that long-lived cluster "
                          "executors never see per-job")
+    ap.add_argument("--steady", type=int, default=1,
+                    help="run the timed full build N times in this one "
+                         "JVM and record every run's per-stage walls in "
+                         "<out>/steady.json. Even after --warmup, the "
+                         "FIRST full-size build in a fresh JVM pays "
+                         "~10-15 s of one-time heap-growth/C2 cost the "
+                         "tiny warmup cannot trigger (measured: blocks "
+                         "26.2 s run-1 vs 13.3 s run-2 after a 2K-doc "
+                         "warmup); a long-lived cluster executor only "
+                         "ever runs in the steady state, so min-of-N is "
+                         "the faithful per-job figure")
     args = ap.parse_args()
 
     from anserini_spark.index.build import IndexConfig, build_index
@@ -97,7 +108,27 @@ def main() -> None:
         wcfg = replace(cfg, out_dir=wdir)
         build_index(spark, corpus.limit(2000), wcfg)
         shutil.rmtree(wdir, ignore_errors=True)
-    man = build_index(spark, corpus, cfg)
+    if args.steady > 1:
+        import os
+        import shutil
+
+        from dataclasses import replace
+
+        stages = ("docvec", "blocks", "dictionary", "stats")
+        all_runs = []
+        for i in range(args.steady - 1):
+            rdir = args.out + f".steady{i}"
+            shutil.rmtree(rdir, ignore_errors=True)
+            m = build_index(spark, corpus, replace(cfg, out_dir=rdir))
+            all_runs.append({s: m[s]["wall_s"] for s in stages})
+            shutil.rmtree(rdir, ignore_errors=True)
+            spark.sparkContext._jvm.System.gc()
+        man = build_index(spark, corpus, cfg)
+        all_runs.append({s: man[s]["wall_s"] for s in stages})
+        with open(os.path.join(args.out, "steady.json"), "w") as f:
+            json.dump({"runs": all_runs}, f, indent=2)
+    else:
+        man = build_index(spark, corpus, cfg)
     json.dump(man, sys.stdout, indent=2, default=str)
     print()
     spark.stop()
