@@ -135,8 +135,108 @@ def extract_text(html: bytes | str | None) -> str:
     return " ".join(_htmlmod.unescape(text).split())
 
 
+# ---------------------------------------------------------------------------
+# Vectorized batch path (round 4): the per-page cost of the Python fast
+# path is dominated by `_TAG_RE.sub(_tag_repl, ...)` — one Python
+# callback per tag (~37 of 60 us/page measured). pyarrow's re2-based
+# string kernels run the same passes in C++ with no per-match Python.
+# re2 has no backreferences or lookaround, so the passes are rewritten:
+#   * the skip-span strip (`</\1>` backref) becomes four per-tag passes
+#     — same spans per tag name; exotic interleavings (e.g. a <style>
+#     span swallowing a <script> open) change only which rows fall back
+#     to the row-wise path, never the output;
+#   * the conditional tag replacement (block -> "\n", inline -> "")
+#     becomes two passes: a block-name alternation first, then the
+#     generic tag pattern. Equivalent ONLY when no quoted attribute
+#     value contains '<' or '>' (a quoted '<div>' inside another tag's
+#     attribute would be visible to the block pass) — such rows are
+#     detected up front with the quote-aware grammar and routed to the
+#     row-wise path, as are rows with comments/CDATA/PIs.
+# Every mask/post-check mirrors a fallback the row-wise path already
+# has; ineligible rows go through `extract_text` unchanged, so
+# `extract_series(s) == s.map(extract_text)` byte-identical always
+# (pinned over the full synthetic corpus + adversarial fixtures in
+# tests/test_html2text.py).
+
+# tag-name boundary without lookahead: immediately '>' or one
+# non-name-char then the generic quote-aware body
+_A_BLOCK = ("(?i)</?(?:" + "|".join(sorted(_BLOCK_TAGS)) + ")"
+            "(?:>|(?:\"[^\"]*\"|'[^']*'|[^<>\"'a-zA-Z0-9-])"
+            "(?:\"[^\"]*\"|'[^']*'|[^<>\"'])*>)")
+_A_GENERIC = "</?[a-zA-Z](?:\"[^\"]*\"|'[^']*'|[^<>\"'])*>"
+# Hazards checked on the POST-strip text (skip/decl removal can create
+# them by juxtaposition), routed to the row-wise path:
+#  * a tag whose quoted attribute value contains '<' or '>' — visible
+#    to the two-pass scheme but opaque to the single conditional pass
+#    (consume the angle-free quote-aware body, then an angle in a quote)
+#  * a tag-open whose body runs into another '<' before any '>' — the
+#    single pass scans past it position-by-position, while a second
+#    pass would rescan across earlier replacements
+_A_HAZARD = ("<[a-zA-Z/](?:\"[^\"<>]*\"|'[^'<>]*'|[^<>\"'])*"
+             "(?:\"[^\"]*[<>]|'[^']*[<>])"
+             "|<[a-zA-Z/](?:\"[^\"]*\"|'[^']*'|[^<>\"'])*<")
+_A_INELIGIBLE = r"<!\[CDATA\[|<\?|<!--"
+# STRICT skip spans — content may not contain '<'. The row-wise
+# `<tag>.*?</tag>` alternation is leftmost-across-names; sequential
+# per-name passes are order-DEPENDENT on interleaved spans (a
+# dismembered open can capture a later span's close). With '<'-free
+# content, spans of all names are provably disjoint and
+# order-independent; spans that do contain markup (real-world JS with
+# `a<b`, nested skip tags) leave their open behind and the post-check
+# routes the row to the row-wise path.
+_A_SKIP = [(t, "(?is)<%s\\b[^>]*>[^<]*</%s\\s*>" % (t, t))
+           for t in ("script", "style", "template", "noscript")]
+_A_SKIP_OPEN = r"(?i)<(?:script|style|template|noscript)\b"
+_A_LEFTOVER = r"<[a-zA-Z/!?]"
+
+
+def _decode(h) -> str:
+    if h is None:
+        return ""
+    if isinstance(h, (bytes, bytearray, memoryview)):
+        return bytes(h).decode("utf-8", errors="replace")
+    return h
+
+
 def extract_series(htmls: pd.Series) -> pd.Series:
-    return htmls.map(extract_text)
+    import html as _htmlmod
+
+    try:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+    except ImportError:  # pragma: no cover - pyarrow ships with pyspark
+        return htmls.map(extract_text)
+
+    decoded = [_decode(h) for h in htmls]
+    arr = pa.array(decoded, type=pa.string())
+    ok = pc.invert(pc.match_substring_regex(arr, _A_INELIGIBLE))
+    idx = pc.indices_nonzero(ok).to_numpy(zero_copy_only=False)
+    out: List[str] = [None] * len(decoded)  # type: ignore[list-item]
+    if len(idx):
+        sub = pc.take(arr, pa.array(idx))
+        for _round in range(2):  # round 2 catches one nesting level
+            for tag, pat in _A_SKIP:
+                # cheap literal presence gate: a skip-tag absent from
+                # the whole batch (template/noscript on most corpora,
+                # everything in round 2) skips its regex pass entirely
+                present = pc.any(pc.match_substring(
+                    sub, "<" + tag, ignore_case=True)).as_py()
+                if present:
+                    sub = pc.replace_substring_regex(sub, pat, "")
+        bad = pc.match_substring_regex(sub, _A_SKIP_OPEN)
+        sub = pc.replace_substring_regex(sub, r"<![^>]*>", "")
+        bad = pc.or_(bad, pc.match_substring_regex(sub, _A_HAZARD))
+        sub = pc.replace_substring_regex(sub, _A_BLOCK, "\n")
+        sub = pc.replace_substring_regex(sub, _A_GENERIC, "")
+        bad = pc.or_(bad, pc.match_substring_regex(sub, _A_LEFTOVER))
+        bad_np = bad.to_numpy(zero_copy_only=False)
+        for i, text, is_bad in zip(idx, sub.to_pylist(), bad_np):
+            out[i] = (extract_text(decoded[i]) if is_bad
+                      else " ".join(_htmlmod.unescape(text).split()))
+    for i, done in enumerate(out):
+        if done is None:
+            out[i] = extract_text(decoded[i])
+    return pd.Series(out, index=htmls.index, dtype="object")
 
 
 def make_extract_udf():

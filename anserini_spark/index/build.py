@@ -182,7 +182,7 @@ def _analyze_kernel(cfg: IndexConfig):
     from_html = cfg.source_col == "html"
     store_pos = cfg.store_positions
     if from_html:
-        from ..extraction.html2text import extract_text
+        from ..extraction.html2text import extract_series
     if store_pos:
         from ..analysis.analyzer import analyze_with_positions
 
@@ -197,7 +197,9 @@ def _analyze_kernel(cfg: IndexConfig):
                 out["positions"] = []
             if store_contents:
                 out["contents"] = []
-            texts = b["html"].map(extract_text) if from_html else b["text"]
+            # vectorized batch extraction (arrow/re2 passes with
+            # row-wise fallback; see extraction/html2text.py round 4)
+            texts = extract_series(b["html"]) if from_html else b["text"]
             for url, text in zip(b["url"], texts):
                 if from_html and (not text or not text.strip()):
                     # empty-doc filter post-extraction

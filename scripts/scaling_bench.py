@@ -145,13 +145,21 @@ spark.stop()
 
     def _ctrl_worker(payloads, q):
         import time as _t
+
+        import pandas as pd
+
         sys.path.insert(0, REPO)
         from anserini_spark.analysis.analyzer import analyze
-        from anserini_spark.extraction.html2text import extract_text
+        from anserini_spark.extraction.html2text import extract_series
         t0 = _t.perf_counter()
         tot = 0
-        for h in payloads:
-            tot += len(analyze(extract_text(h.decode("utf-8", "replace"))))
+        # mirror the engine kernel's batch shape (round 4): vectorized
+        # arrow/re2 extraction over ~10K-row batches, then analyze
+        for i in range(0, len(payloads), 10000):
+            texts = extract_series(
+                pd.Series(payloads[i:i + 10000], dtype="object"))
+            for text in texts:
+                tot += len(analyze(text))
         q.put((_t.perf_counter() - t0, tot))
 
     def _ctrl_leg(k: int) -> float:

@@ -102,3 +102,78 @@ def test_fast_path_equals_parser_on_corpus(spark):
             continue
         h = bytes(r["html"]).decode("utf-8", "replace")
         assert extract_text(h) == _extract_text_parser(h)
+
+
+def test_vectorized_batch_equals_rowwise_randomized():
+    """extract_series (arrow/re2 vectorized batch path, round 4) must
+    be byte-identical to row-wise extract_text on randomized
+    adversarial HTML — including the constructs that force its
+    hazard-mask fallbacks (angle-in-quote, tag-open hitting '<',
+    interleaved skip spans, comments, CDATA, PIs)."""
+    import random
+
+    import pandas as pd
+
+    from anserini_spark.extraction.html2text import (
+        extract_series,
+        extract_text,
+    )
+
+    random.seed(29)
+    pieces = [
+        "<p>", "</p>", "<div class='a>b'>", "</div>", "<b>", "</b>",
+        "<script>var x = '<p>';</script>", "<style>.x{}</style>",
+        "<!-- a <div> comment -->", "<!DOCTYPE html>", "<br/>",
+        "<img src=x alt=\"y>z\">", "&amp;", "&lt;tag&gt;", "&#65;",
+        "plain words here", "1 < 2", "a > b", "  spaces\t\n ",
+        "<noscript>hidden</noscript>", "<ul><li>x</li></ul>",
+        "<!-- unterminated", "<![CDATA[weird]]>", "<?pi data?>",
+        "<p>unclosed", "text<", "<3 hearts",
+        "<a href=x<div>y>", '<a href="<div>">t</a>',
+        "<style>a<script>b</style>c</script>d",
+        "<script>a<style>b</script>c</style>d",
+        "<style><script></style></script>",
+        "<scr<!a>ipt>alert</script>", "<!x<div>>",
+        "<header>h</header><head>x</head>", "<menuitem>m</menuitem>",
+        "<divx>notdiv</divx>", "</div stray attr>t",
+        "<template><td>t</td></template>z", "<DIV>UP</DIV>",
+        "<p title='a\"b'>mix</p>", "unclosed <a href=",
+    ]
+    batch = []
+    for _ in range(400):
+        batch.append("".join(random.choice(pieces)
+                             for _ in range(random.randint(1, 25))))
+    batch += [None, "", b"<p>bytes &#98;</p>"]
+    s = pd.Series(batch, dtype="object")
+    got = extract_series(s)
+    ref = s.map(extract_text)
+    for i in range(len(s)):
+        assert got[i] == ref[i], batch[i]
+
+
+def test_vectorized_batch_equals_rowwise_on_corpus(spark):
+    """Zero vectorized-vs-rowwise divergence across the full synthetic
+    corpus, and the vectorized fast path (not the fallback) must carry
+    nearly all rows — otherwise the batch path silently degrades to
+    the row-wise speed."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from anserini_spark.corpus.synth import web_corpus
+    from anserini_spark.extraction.html2text import (
+        _A_INELIGIBLE,
+        _decode,
+        extract_series,
+        extract_text,
+    )
+
+    rows = web_corpus(spark, "/root/testdata/sf0.001").collect()
+    s = pd.Series([r["html"] for r in rows])
+    got = extract_series(s)
+    ref = s.map(extract_text)
+    assert (got == ref).all()
+    arr = pa.array([_decode(h) for h in s], type=pa.string())
+    eligible = len(arr) - pc.sum(
+        pc.match_substring_regex(arr, _A_INELIGIBLE)).as_py()
+    assert eligible / len(arr) > 0.95
