@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from ..extraction.html2text import extract_text
+from ..extraction.html2text import extract_series_safe
 
 _START_TAGS = ("<TEXT>", "<HEADLINE>", "<TITLE>", "<HL>", "<HEAD>",
                "<TTL>", "<DD>", "<DATE>", "<LP>", "<LEADPARA>")
@@ -110,21 +110,18 @@ def trec_corpus(spark: SparkSession, path: str,
 
     def split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            rows = {"url": [], "text": [], "lang": [], "raw": []}
+            rows = {"url": [], "lang": [], "raw": []}
             for blob in b["value"]:
                 for docid, raw in parse_trec_file(blob or ""):
                     rows["url"].append(docid)
-                    # JsoupStringTransform analogue + trim
-                    # (`TrecCollection.java:219-226`)
-                    try:
-                        contents = extract_text(raw).strip()
-                    except Exception:
-                        contents = ""
-                    rows["text"].append(contents)
                     rows["lang"].append(lang)
                     rows["raw"].append(raw)
             if rows["url"]:
-                yield pd.DataFrame(rows)
+                # JsoupStringTransform analogue + trim
+                # (`TrecCollection.java:219-226`); vectorized batch
+                # extraction (arrow/re2, round 4)
+                rows["text"] = extract_series_safe(rows["raw"])
+                yield pd.DataFrame(rows)[["url", "text", "lang", "raw"]]
 
     return files.mapInPandas(split, schema=TREC_SCHEMA)
 
@@ -169,19 +166,16 @@ def trecweb_corpus(spark: SparkSession, path: str,
 
     def split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            rows = {"url": [], "text": [], "lang": [], "raw": []}
+            rows = {"url": [], "lang": [], "raw": []}
             for blob in b["value"]:
                 for docid, raw in parse_trecweb_file(blob or ""):
                     rows["url"].append(docid)
-                    try:
-                        contents = extract_text(raw).strip()
-                    except Exception:
-                        contents = ""
-                    rows["text"].append(contents)
                     rows["lang"].append(lang)
                     rows["raw"].append(raw)
             if rows["url"]:
-                yield pd.DataFrame(rows)
+                # vectorized batch extraction (arrow/re2, round 4)
+                rows["text"] = extract_series_safe(rows["raw"])
+                yield pd.DataFrame(rows)[["url", "text", "lang", "raw"]]
 
     return files.mapInPandas(split, schema=TREC_SCHEMA)
 

@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from ..extraction.html2text import extract_text
+from ..extraction.html2text import extract_series_safe
 
 
 _MAX_HEADER_BLOCK = 65536
@@ -127,7 +127,8 @@ def warc_corpus(spark: SparkSession, path: str,
 
     def split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            rows = {k: [] for k in ("docid", "url", "html", "text", "lang")}
+            rows = {k: [] for k in ("docid", "url", "html", "lang")}
+            bodies: list = []
             for pth, blob in zip(b["path"], b["content"]):
                 data = bytes(blob)
                 if pth.endswith(".gz") or data[:2] == b"\x1f\x8b":
@@ -138,16 +139,16 @@ def warc_corpus(spark: SparkSession, path: str,
                     if rec["type"] != "response":
                         continue
                     body = response_content(rec["payload"])
-                    try:
-                        text = extract_text(body).strip()
-                    except Exception:
-                        text = ""
+                    bodies.append(body)
                     rows["docid"].append(rec["docid"])
                     rows["url"].append(rec["url"])
                     rows["html"].append(body.encode("utf-8"))
-                    rows["text"].append(text)
                     rows["lang"].append(lang)
             if rows["docid"]:
-                yield pd.DataFrame(rows)
+                # vectorized batch extraction (arrow/re2, round 4)
+                # with row-level exception isolation
+                rows["text"] = extract_series_safe(bodies)
+                yield pd.DataFrame(rows)[
+                    ["docid", "url", "html", "text", "lang"]]
 
     return files.mapInPandas(split, schema=WARC_SCHEMA)

@@ -239,6 +239,23 @@ def extract_series(htmls: pd.Series) -> pd.Series:
     return pd.Series(out, index=htmls.index, dtype="object")
 
 
+def extract_series_safe(items) -> List[str]:
+    """Batch extraction with the ingest kernels' row-level exception
+    isolation: a malformed page yields "", never a dead batch.
+    Returns stripped text per item."""
+    try:
+        return [t.strip() for t in extract_series(
+            pd.Series(items, dtype="object"))]
+    except Exception:
+        out = []
+        for it in items:
+            try:
+                out.append(extract_text(it).strip())
+            except Exception:
+                out.append("")
+        return out
+
+
 def make_extract_udf():
     """pandas UDF ``binary -> string`` (vectorized HTML->text)."""
     from pyspark.sql.functions import pandas_udf
