@@ -145,3 +145,41 @@ def test_store_contents_doc_fetch(spark, tmp_path):
     want = {r["url"]: r["text"] for r in corpus.collect()}[docid]
     assert stored == want
     assert s.doc("https://nonexistent.example/x") is None
+
+
+def test_docvec_plan_single_exchange(spark):
+    """Round-4 invariant: the docvec stage's url-dedup groupBy reuses
+    the explicit repartition(P, "url") clustering — the physical plan
+    must contain exactly ONE Exchange (the repartition itself). A
+    second exchange would mean the dedup agg re-shuffles the analyzed
+    arrays."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from anserini_spark.corpus.synth import web_corpus
+    from anserini_spark.index.build import (
+        SEG_SHIFT,
+        IndexConfig,
+        _analyze_kernel,
+        analyzed_schema,
+    )
+
+    cfg = IndexConfig(out_dir="/tmp/nil_plan", source_col="html",
+                      doc_partitions=4)
+    df = web_corpus(spark, "/root/testdata/sf0.001")
+    other_cols = ["doclen", "terms", "tfs"]
+    plan_df = (
+        df.select("url", "html")
+        .mapInPandas(_analyze_kernel(cfg), schema=analyzed_schema(False, False))
+        .repartition(4, "url")
+        .groupBy("url")
+        .agg(*[F.first(c).alias(c) for c in other_cols])
+        .sortWithinPartitions("url")
+        .withColumn("doc_id", F.monotonically_increasing_id())
+        .withColumn("segment",
+                    F.shiftrightunsigned("doc_id", SEG_SHIFT).cast("int"))
+        .select("doc_id", "url", "segment", *other_cols)
+    )
+    plan = plan_df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange", plan)) == 1, plan
