@@ -17,13 +17,14 @@ consonant undoubling), then the derivational endings (-ity, -ness,
 dictionary-gated.
 
 Scope note: Lucene's KStem ships a ~30K-entry lexicon; this module
-gates its rules on the ~10.5K-lemma from-scratch headword list in
+gates its rules on the ~10.9K-lemma from-scratch headword list in
 ``kstem_lexicon`` (public common-English vocabulary, no copied
 wordlist) plus the compact core list and irregular map below. On the
 reference's own English topic files (robust04/core18/adhoc, 17.8K
-content tokens after stopword removal), 87.4% of token mass resolves
-to a headword; misses are dominated by proper nouns (39% of unique
-misses), for which identity is real KStem's behavior too. Rule
+content tokens after stopword removal), 94.6% of token mass resolves
+to a headword (the round-4 lexicon block added the measured
+high-frequency misses); the residual is dominated by proper names,
+for which identity is real KStem's behavior too. Rule
 behavior is identical to the published algorithm; off-list rare words
 fall back to "leave unchanged", KStem's own default for unknown
 derivations. The reference's published analyzer goldens
