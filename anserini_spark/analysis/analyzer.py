@@ -47,6 +47,42 @@ def stem_mode(analyzer: str) -> str:
     ``analyze`` ("porter" | "krovetz" | "none")."""
     return analyzer if analyzer in ("porter", "krovetz") else "none"
 
+
+# bump when the tokenizer / possessive / stop chain changes behavior
+_CHAIN_TAG = "tok1"
+
+
+def analysis_version(analyzer: str) -> str:
+    """Content-derived version of the token stream an analyzer
+    produces. Recorded in the docvec manifest lineage and gated at
+    ``InvertedIndex`` load: an index built with a different analyzer
+    behavior (e.g. a grown KStem lexicon) would silently be queried
+    with drifted stems, so the engine refuses it instead — the same
+    contract as the seg_shift id-layout gate. The krovetz component
+    hashes the lexicon DATA, so lexicon growth changes the version
+    without anyone remembering to bump a constant."""
+    import hashlib
+
+    if analyzer == "ws":
+        return "ws1"  # pure whitespace split — no chain, no lexicon
+    stop_h = hashlib.md5(
+        " ".join(sorted(ENGLISH_STOP_WORDS)).encode()
+    ).hexdigest()[:8]
+    v = f"{_CHAIN_TAG}.stop{stop_h}"
+    if stem_mode(analyzer) == "porter":
+        v += ".porter1"
+    elif stem_mode(analyzer) == "krovetz":
+        from . import krovetz as kv
+        from . import kstem_lexicon
+
+        lex_h = hashlib.md5(
+            (kstem_lexicon.LEXICON_WORDS
+             + repr(sorted(kv._IRREGULAR.items()))
+             + " ".join(sorted(kv._LEXICON))).encode()
+        ).hexdigest()[:8]
+        v += f".kstem{lex_h}"
+    return v
+
 # UAX#29-ish word regex for Latin web text. \w in Python3 re is
 # unicode-aware (letters, digits, underscore).
 _TOKEN_RE = re.compile(

@@ -102,7 +102,14 @@ def ndcg_at_k(run: DataFrame, qrels: DataFrame, k: int = 20) -> float:
     discount, ideal DCG from the topic's grades sorted descending and cut
     at k; macro-averaged over topics with at least one positive grade
     (the reference pins ``ndcg20`` for its graded web collections)."""
-    graded = qrels.filter(F.col("grade") > 0).select("qid", "docid", "grade")
+    # one row per (qid, docid): a duplicated qrels line must not
+    # double-count its gain in DCG or emit two IDCG rows (same hygiene
+    # as _rel()'s distinct); max(grade) wins on conflicting duplicates
+    graded = (
+        qrels.filter(F.col("grade") > 0)
+        .groupBy("qid", "docid")
+        .agg(F.max("grade").alias("grade"))
+    )
     # DCG@k from the run's ranks
     dcg = (
         run.filter(F.col("rank") <= k)

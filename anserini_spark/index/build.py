@@ -60,6 +60,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..analysis.analyzer import analyze, stem_mode
+from ..analysis.analyzer import analysis_version as _analysis_version
 from .blocks import RANGE_SHIFT, encode_blocks
 
 # doc_id = (segment << SEG_SHIFT) | row_in_segment. 33 matches the
@@ -491,6 +492,11 @@ def build_index(spark: SparkSession, corpus: DataFrame, cfg: IndexConfig) -> dic
             bytes=_dir_bytes(docvec_path),
             seg_shift=SEG_SHIFT,
             lineage={"stage": "docvec", "analyzer": cfg.analyzer,
+                     # content-derived token-stream version (lexicon
+                     # hash for krovetz): gated at InvertedIndex load
+                     # so a grown lexicon can't silently query an index
+                     # built with drifted stems
+                     "analysis_version": _analysis_version(cfg.analyzer),
                      "lang": cfg.lang, "partitions": cfg.doc_partitions},
         )
 

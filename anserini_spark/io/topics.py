@@ -28,8 +28,10 @@ from anserini_spark.io.runs import read_trec_topics
 def _open(path: str):
     # topic files in the wild mix encodings (the MQ files contain
     # latin-1 bytes); mirror Java's decoder behavior of replacing
-    # malformed sequences instead of failing the whole file
-    return open(path, encoding="utf-8", errors="replace")
+    # malformed sequences instead of failing the whole file. utf-8-sig
+    # additionally strips a UTF-8 BOM so a BOM'd first line still
+    # parses (int(qid) / the sniffer's ^\d+ anchors would reject it)
+    return open(path, encoding="utf-8-sig", errors="replace")
 
 
 def read_webxml_topics(path: str) -> Dict[int, str]:
@@ -54,27 +56,32 @@ def read_webxml_topics(path: str) -> Dict[int, str]:
 
 
 def read_web_topics(path: str) -> Dict[int, str]:
-    """`WebTopicReader.java:50-66`: one ``qid:query`` per line."""
+    """`WebTopicReader.java:50-66`: one ``qid:query`` per line. The
+    reference takes ``line.split(":")[1]`` — a query containing a colon
+    is TRUNCATED at its first colon. Mirrored exactly so regression runs
+    over MQ topics stay term-identical with the reference."""
     topics: Dict[int, str] = {}
     for raw in _open(path):
         line = raw.strip()
         if not line:
             continue
-        qid, query = line.split(":", 1)
-        topics[int(qid)] = query
+        topics[int(line.split(":", 1)[0])] = line.split(":")[1]
     return topics
 
 
 def read_prioritized_web_topics(path: str) -> Dict[int, str]:
     """`PrioritizedWebTopicReader.java`: ``qid:priority:query`` per line
-    (priority is metadata; the query is the retrieval field)."""
+    (priority is metadata; the query is the retrieval field). The
+    reference takes ``StringUtils.substringAfterLast(line, ":")`` — a
+    query containing a colon keeps only the text after its LAST colon.
+    Mirrored exactly (same term stream as the reference)."""
     topics: Dict[int, str] = {}
     for raw in _open(path):
         line = raw.strip()
         if not line:
             continue
-        qid, _prio, query = line.split(":", 2)
-        topics[int(qid)] = query
+        qid = line.split(":", 1)[0]
+        topics[int(qid)] = line.rsplit(":", 1)[1]
     return topics
 
 
@@ -160,9 +167,13 @@ TOPIC_FILE_REGISTRY = {
 }
 
 
+_SNIFF_LINES = 20
+
+
 def _sniff(path: str):
     """Content-based fallback for unregistered files of a known shape."""
     head = _open(path).read(65536)
+    payload = []
     for line in head.splitlines():
         line = line.strip()
         if not line:
@@ -179,11 +190,21 @@ def _sniff(path: str):
             qid = line.split("\t", 1)[0]
             return read_tsv_int_topics if qid.isdigit() \
                 else read_tsv_string_topics
-        if re.match(r"^\d+:\d+:", line):
-            return read_prioritized_web_topics
         if re.match(r"^\d+:", line):
-            return read_web_topics
+            payload.append(line)
+            if len(payload) >= _SNIFF_LINES:
+                break
+            continue
         break
+    if payload:
+        # prioritized MQ only when the qid:priority:query shape holds on
+        # EVERY sampled line; a plain qid:query file whose first query
+        # merely begins with digits-colon must not lose text to the
+        # discarded priority field — prefer the plain reader on ambiguity
+        # only if some line lacks the 3-field shape
+        if all(re.match(r"^\d+:\d+:", ln) for ln in payload):
+            return read_prioritized_web_topics
+        return read_web_topics
     raise ValueError(f"cannot determine topic format of {path}")
 
 

@@ -85,6 +85,22 @@ class InvertedIndex:
                 f"index {index_dir} was built with SEG_SHIFT="
                 f"{built_shift}, engine uses {SEG_SHIFT}; rebuild the "
                 "index (stale cached dir?)")
+        # analyzer/lexicon versioning: querying with a drifted analyzer
+        # (e.g. a grown KStem lexicon) would silently degrade ranking
+        # instead of failing — refuse, same contract as seg_shift. "ws"
+        # is a pure whitespace split (no chain/lexicon), so pre-version
+        # ws manifests stay loadable.
+        from ..analysis.analyzer import analysis_version
+
+        cur_av = analysis_version(self.analyzer)
+        built_av = self.manifest["docvec"]["lineage"].get(
+            "analysis_version", "ws1" if self.analyzer == "ws" else None)
+        if built_av != cur_av:
+            raise ValueError(
+                f"index {index_dir} was built with analyzer version "
+                f"{built_av}, engine's '{self.analyzer}' chain is now "
+                f"{cur_av}; rebuild the index (analyzer/lexicon "
+                "changed since it was built)")
         self._cache = cache
         self._cache_blocks = cache_blocks
         self._dfs: Dict[str, DataFrame] = {}

@@ -85,3 +85,19 @@ def test_evaluate_bundle(spark, case):
     m = evaluate(run, qrels)
     assert set(m) == {"mrr@10", "map", "recall@1000", "p@30", "ndcg@20"}
     assert m["mrr@10"] == 0.5
+
+
+def test_ndcg_duplicate_qrels_rows(spark):
+    """A duplicated (qid, docid) qrels line must not double-count DCG
+    gain or emit two IDCG rows (same hygiene as _rel's distinct)."""
+    run = spark.createDataFrame(
+        [(1, "a", 1, 9.0), (1, "b", 2, 8.0)],
+        "qid int, docid string, rank int, score double",
+    )
+    clean = spark.createDataFrame(
+        [(1, "a", 2), (1, "b", 1)], "qid int, docid string, grade int")
+    dup = spark.createDataFrame(
+        [(1, "a", 2), (1, "a", 2), (1, "b", 1), (1, "a", 1)],
+        "qid int, docid string, grade int")  # dup rows + a lower-grade dup
+    assert ndcg_at_k(run, dup, 20) == pytest.approx(
+        ndcg_at_k(run, clean, 20))

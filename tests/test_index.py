@@ -183,3 +183,31 @@ def test_docvec_plan_single_exchange(spark):
     )
     plan = plan_df._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"Exchange", plan)) == 1, plan
+
+
+def test_analysis_version_gate(spark, tiny_index, tmp_path):
+    """An index whose recorded analyzer/lexicon version differs from
+    the engine's current chain must refuse to load (ADVICE r4: a grown
+    KStem lexicon would otherwise silently query drifted stems) —
+    same contract as the seg_shift id-layout gate."""
+    import json
+    import shutil
+
+    from anserini_spark.analysis.analyzer import analysis_version
+    from anserini_spark.search.searcher import InvertedIndex
+
+    # current-version index loads fine
+    idx = InvertedIndex(spark, tiny_index, cache=False)
+    assert idx.manifest["docvec"]["lineage"]["analysis_version"] == \
+        analysis_version(idx.analyzer)
+
+    stale = str(tmp_path / "stale_idx")
+    shutil.copytree(tiny_index, stale)
+    mpath = f"{stale}/manifest.json"
+    with open(mpath) as f:
+        man = json.load(f)
+    man["docvec"]["lineage"]["analysis_version"] = "tok1.stopdead.kstem0"
+    with open(mpath, "w") as f:
+        json.dump(man, f)
+    with pytest.raises(ValueError, match="analyzer version"):
+        InvertedIndex(spark, stale, cache=False)

@@ -40,9 +40,38 @@ def test_web_and_prioritized_inline(tmp_path):
         1: "delta air lines", 2: "kitchen canister sets"}
     q = tmp_path / "pmq.txt"
     q.write_text("20001:1:obama family tree\n20002:2:french lick:resort\n")
-    # query may itself contain ':' — only the first two are separators
+    # reference PrioritizedWebTopicReader: substringAfterLast(line, ":")
+    # — a colon INSIDE the query keeps only the text after the LAST
+    # colon (mirrored exactly; term-identical regression runs)
     assert read_prioritized_web_topics(str(q)) == {
-        20001: "obama family tree", 20002: "french lick:resort"}
+        20001: "obama family tree", 20002: "resort"}
+
+
+def test_web_reader_colon_truncation(tmp_path):
+    # reference WebTopicReader: line.split(":")[1] — a colon inside the
+    # query truncates at the SECOND colon
+    p = tmp_path / "mq.txt"
+    p.write_text("7:time:machine repair\n8:plain query\n")
+    assert read_web_topics(str(p)) == {7: "time", 8: "plain query"}
+
+
+def test_sniff_prioritized_requires_shape_on_all_lines(tmp_path):
+    from anserini_spark.io.topics import read_topics
+
+    # first query starts with digits-colon but later lines don't match
+    # qid:priority:query — must parse as plain qid:query (preserving
+    # the reference WebTopicReader split(":")[1] semantics), not drop
+    # text into a phantom priority field
+    p = tmp_path / "unregistered_mq_like.txt"
+    p.write_text("101:2:1 odds of winning\n102:delta air lines\n"
+                 "103:kitchen canister sets\n")
+    assert read_topics(str(p)) == {
+        101: "2", 102: "delta air lines", 103: "kitchen canister sets"}
+    # uniformly 3-field files still sniff as prioritized
+    q = tmp_path / "unregistered_pmq_like.txt"
+    q.write_text("20001:1:obama family tree\n20002:2:dog training\n")
+    assert read_topics(str(q)) == {
+        20001: "obama family tree", 20002: "dog training"}
 
 
 def test_microblog_inline(tmp_path):
@@ -109,3 +138,39 @@ def test_reference_topic_files(fname, count, qid, query):
     topics = read_topics(os.path.join(REF_TOPICS, fname))
     assert len(topics) == count
     assert topics[qid] == query
+
+
+def test_malformed_topic_lines_raise(tmp_path):
+    """Negative cases mirroring the reference TopicReaderTest edges:
+    a <topic> element without number= must fail loudly, as must a
+    microblog <top> without an MB num or title/query."""
+    bad_xml = tmp_path / "badweb.xml"
+    bad_xml.write_text("<topic>\n<query>x</query>\n</topic>\n")
+    with pytest.raises(ValueError, match="without number"):
+        read_webxml_topics(str(bad_xml))
+    bad_mb = tmp_path / "badmb.txt"
+    bad_mb.write_text("<top>\n<num> Number: 7 </num>\n"
+                      "<title> t </title>\n</top>\n")
+    with pytest.raises(ValueError, match="MB number"):
+        read_microblog_topics(str(bad_mb))
+    bad_mb2 = tmp_path / "badmb2.txt"
+    bad_mb2.write_text("<top>\n<num> Number: MB007 </num>\n</top>\n")
+    with pytest.raises(ValueError, match="without title/query"):
+        read_microblog_topics(str(bad_mb2))
+
+
+def test_bom_and_mixed_encoding(tmp_path):
+    """A UTF-8 BOM must not break qid parsing or format sniffing, and
+    non-UTF8 (latin-1) bytes decode with replacement instead of
+    failing the file — the MQ files in the wild contain both."""
+    bom_tsv = tmp_path / "bom.tsv"
+    bom_tsv.write_bytes("﻿5\thello world\n".encode("utf-8"))
+    assert read_topics(str(bom_tsv)) == {5: "hello world"}
+    bom_colon = tmp_path / "bomq.txt"
+    bom_colon.write_bytes("﻿9:a colon query\n".encode("utf-8"))
+    assert read_topics(str(bom_colon)) == {9: "a colon query"}
+    latin = tmp_path / "latin.txt"
+    latin.write_bytes(b"12:caf\xe9 au lait\n")  # latin-1 e-acute
+    got = read_topics(str(latin))
+    assert list(got) == [12]
+    assert got[12].startswith("caf") and got[12].endswith(" au lait")
