@@ -45,7 +45,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # REAL block index + MaxScore kernel, oracled (SURVEY.md §2.3/§2.7)
         "bm25_index_topk": iq.bm25_index_topk,
         "qld_index_topk": iq.qld_index_topk,
+        "qljm_index_topk": iq.qljm_index_topk,
+        "inl2_index_topk": iq.inl2_index_topk,
         "sdm_topk": iq.sdm_topk,
+        "rm3_topk": iq.rm3_topk,
         "doclen_histogram": cq.doclen_histogram,
         "top_bigrams": cq.top_bigrams,
         # dedup family

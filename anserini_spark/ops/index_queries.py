@@ -107,6 +107,59 @@ def qld_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _index_topk(spark, sf_dir, "qld", mu=MU)
 
 
+QLJM_LAMBDA = 0.1
+INL2_C = 1.0
+
+
+def qljm_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-query QL Jelinek-Mercer (lambda=0.1, the reference's
+    ``-qljm`` default, Lucene LMJelinekMercerSimilarity shape) through
+    the block index + MaxScore kernel — the external-oracle
+    representative for the kernel-similarity family alongside QLD."""
+    return _index_topk(spark, sf_dir, "qljm", lam=QLJM_LAMBDA)
+
+
+def inl2_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-query DFR InL2 (c=1.0, `SearchArgs.java` -inl2 default;
+    Lucene DFRSimilarity(BasicModelIn, AfterEffectL, NormalizationH2))
+    through the block index + MaxScore kernel."""
+    return _index_topk(spark, sf_dir, "inl2", c=INL2_C)
+
+
+RM3_FB_DOCS = 10
+RM3_FB_TERMS = 10
+RM3_ALPHA = 0.5
+RM3_MAX_DF_RATIO = 0.1
+
+
+def rm3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-query RM3 pseudo-relevance feedback end to end through
+    the block index (`rerank/lib/Rm3Reranker.java:49-248`): float64
+    BM25 first pass (tie-adjusted scores, exactly what the engine
+    feeds the feedback model), relevance-model estimation over the
+    top-10 docvecs (hygiene filter, per-doc pruneToSize, L1-of-pruned
+    weighting), 0.5 interpolation with the L1-normalized query vector,
+    and a boosted re-search through the same kernel. The DuckDB oracle
+    recomputes every stage in pure SQL."""
+    idx = InvertedIndex(spark, _gate_index(spark, sf_dir))
+    queries = _fixed_queries()
+    first = search_kernel_similarity(idx, queries, "bm25", k=TOPK,
+                                     k1=K1, b=B)
+    from ..search.rm3 import rm3_boosts
+
+    boosts = rm3_boosts(idx, queries, first, fb_docs=RM3_FB_DOCS,
+                        fb_terms=RM3_FB_TERMS, alpha=RM3_ALPHA,
+                        max_df_ratio=RM3_MAX_DF_RATIO)
+    hits = search_kernel_similarity(idx, queries, "bm25", k=TOPK,
+                                    k1=K1, b=B, boosts=boosts)
+    return hits.select(
+        "qid",
+        F.col("docid").cast("long").alias("doc_id"),
+        "rank",
+        "score",
+    ).orderBy("qid", "rank")
+
+
 def sdm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-query Sequential Dependence Model top-10 through a
     POSITIONAL block index (`-storePositions`) + the per-segment SDM
@@ -295,11 +348,220 @@ WHERE rank <= {TOPK}
 """
 
 
+def _qljm_oracle(lam: float) -> str:
+    """Lucene LMJelinekMercerSimilarity shape: per-term
+    ln(1 + ((1-λ) tf/dl) / (λ p_c)), p_c = (cf+1)/(sum_tf+1), clamped
+    at 0 (LMSimilarity.score semantics; the clamp never binds since
+    the argument is positive, kept for shape parity)."""
+    return f"""
+WITH {_TOK_CTE},
+q(qid, term) AS (VALUES {_values_clause()}),
+stats AS (SELECT CAST(sum(doclen) AS DOUBLE) AS sum_tf FROM dl),
+cf AS (
+  SELECT term, CAST(sum(tf) AS DOUBLE) AS cf FROM tf
+  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term
+),
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         sum(greatest(0.0,
+           ln(1.0 + ((1.0 - {lam!r}) * CAST(tf.tf AS DOUBLE)
+                     / CAST(dl.doclen AS DOUBLE))
+              / ({lam!r} * ((c.cf + 1.0) / (s.sum_tf + 1.0))))
+         )) AS score
+  FROM q
+  JOIN cf c ON q.term = c.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id
+)
+SELECT qid, doc_id, rank, round(score, 4) AS score
+FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank,
+         score
+  FROM scored
+)
+WHERE rank <= {TOPK}
+"""
+
+
+def _inl2_oracle(c: float) -> str:
+    """DFR InL2 (BasicModelIn + AfterEffectL + NormalizationH2, log2
+    throughout): tfn = tf * log2(1 + c*avgdl/dl); per-term
+    tfn/(tfn+1) * log2((n+1)/(df+0.5))."""
+    return f"""
+WITH {_TOK_CTE},
+q(qid, term) AS (VALUES {_values_clause()}),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(doclen) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+),
+dfreq AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS dfreq FROM tf
+  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term
+),
+scored AS (
+  SELECT qid, doc_id, sum(tfn * basic / (tfn + 1.0)) AS score
+  FROM (
+    SELECT q.qid, tf.doc_id,
+           CAST(tf.tf AS DOUBLE)
+           * ln(1.0 + {c!r} * s.avgdl / CAST(dl.doclen AS DOUBLE))
+           / ln(2.0) AS tfn,
+           ln((s.n + 1.0) / (d.dfreq + 0.5)) / ln(2.0) AS basic
+    FROM q
+    JOIN dfreq d ON q.term = d.term
+    JOIN tf ON tf.term = q.term
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN stats s
+  )
+  GROUP BY qid, doc_id
+)
+SELECT qid, doc_id, rank, round(score, 4) AS score
+FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank,
+         score
+  FROM scored
+)
+WHERE rank <= {TOPK}
+"""
+
+
+def _rm3_oracle(k1: float, b: float, fb_docs: int, fb_terms: int,
+                alpha: float, ratio: float) -> str:
+    """Full RM3 in pure SQL (`Rm3Reranker.java:127-242`): BM25 first
+    pass with the engine's tie-adjusted scores, per-fb-doc hygiene
+    filter ([a-z0-9]{{2,20}}, collection df-ratio <= 10%), per-doc
+    pruneToSize(fb_terms) with L1-of-pruned weighting, relevance-model
+    top-fb_terms prune + L1 normalize, alpha-interpolation with the
+    L1-normalized query vector, and a boosted re-search
+    (boost * idf * tf-part)."""
+    c0, cb = k1 * (1 - b), k1 * b
+    idf = "ln(1.0 + (s.n - d.dfreq + 0.5) / (d.dfreq + 0.5))"
+    tfpart = (f"CAST(tf.tf AS DOUBLE) / (CAST(tf.tf AS DOUBLE) + {c0!r}"
+              f" + {cb!r} / s.avgdl * CAST(dl.doclen AS DOUBLE))")
+    return f"""
+WITH {_TOK_CTE},
+q(qid, term) AS (VALUES {_values_clause()}),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(doclen) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+),
+alldf AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS dfreq FROM tf GROUP BY term
+),
+fp0 AS (
+  SELECT q.qid, tf.doc_id, sum({idf} * {tfpart}) AS score
+  FROM q
+  JOIN alldf d ON q.term = d.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id
+),
+fp1 AS (
+  SELECT qid, doc_id, rank, round(score, 4) AS score
+  FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank,
+           score
+    FROM fp0
+  )
+  WHERE rank <= {TOPK}
+),
+fb AS (
+  SELECT qid, doc_id, score FROM (
+    SELECT qid, doc_id, rank,
+           score - 1e-6 * (row_number() OVER (
+               PARTITION BY qid, score ORDER BY rank) - 1) AS score
+    FROM fp1
+  )
+  WHERE rank <= {fb_docs}
+),
+fbt AS (
+  SELECT fb.qid, fb.doc_id, fb.score, tf.term,
+         CAST(tf.tf AS DOUBLE) AS tfd
+  FROM fb
+  JOIN tf ON tf.doc_id = fb.doc_id
+  JOIN alldf d ON d.term = tf.term
+  CROSS JOIN stats s
+  WHERE regexp_matches(tf.term, '^[a-z0-9]+$')
+    AND length(tf.term) BETWEEN 2 AND 20
+    AND d.dfreq / s.n <= {ratio!r}
+),
+pruned AS (
+  SELECT qid, doc_id, score, term, tfd FROM (
+    SELECT fbt.*, row_number() OVER (
+        PARTITION BY qid, doc_id ORDER BY tfd DESC, term) AS rn
+    FROM fbt
+  )
+  WHERE rn <= {fb_terms}
+),
+dnorm AS (
+  SELECT qid, doc_id, sum(tfd) AS nrm FROM pruned GROUP BY qid, doc_id
+),
+rm AS (
+  SELECT p.qid, p.term, sum((p.tfd / dn.nrm) * p.score) AS w
+  FROM pruned p
+  JOIN dnorm dn ON dn.qid = p.qid AND dn.doc_id = p.doc_id
+  WHERE dn.nrm > 0.001
+  GROUP BY p.qid, p.term
+),
+rmtop AS (
+  SELECT qid, term, w FROM (
+    SELECT qid, term, w, row_number() OVER (
+        PARTITION BY qid ORDER BY w DESC, term) AS rn
+    FROM rm
+  )
+  WHERE rn <= {fb_terms}
+),
+rmnorm AS (
+  SELECT qid, term, w / (sum(w) OVER (PARTITION BY qid)) AS rw FROM rmtop
+),
+qvec AS (
+  SELECT qid, term, 1.0 / (count(*) OVER (PARTITION BY qid)) AS qw FROM q
+),
+boosts AS (
+  SELECT coalesce(qv.qid, rn.qid) AS qid,
+         coalesce(qv.term, rn.term) AS term,
+         {alpha!r} * coalesce(qv.qw, 0.0)
+         + {1.0 - alpha!r} * coalesce(rn.rw, 0.0) AS boost
+  FROM qvec qv
+  FULL OUTER JOIN rmnorm rn ON rn.qid = qv.qid AND rn.term = qv.term
+),
+scored AS (
+  SELECT bq.qid, tf.doc_id, sum(bq.boost * {idf} * {tfpart}) AS score
+  FROM boosts bq
+  JOIN alldf d ON bq.term = d.term
+  JOIN tf ON tf.term = bq.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY bq.qid, tf.doc_id
+)
+SELECT qid, doc_id, rank, round(score, 4) AS score
+FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank,
+         score
+  FROM scored
+)
+WHERE rank <= {TOPK}
+"""
+
+
 def oracle_sqls() -> dict[str, str]:
     # the corpus oracles, plus the ScoreTiesAdjuster transform the
     # engine applies (round 4, perturb duplicate runs by 1e-6*i)
     return {
         "bm25_index_topk": _with_tie_adjust(_bm25_oracle(K1, B)),
         "qld_index_topk": _with_tie_adjust(_qld_oracle(MU)),
+        "qljm_index_topk": _with_tie_adjust(_qljm_oracle(QLJM_LAMBDA)),
+        "inl2_index_topk": _with_tie_adjust(_inl2_oracle(INL2_C)),
         "sdm_topk": _with_tie_adjust(_sdm_oracle(K1, B)),
+        "rm3_topk": _with_tie_adjust(
+            _rm3_oracle(K1, B, RM3_FB_DOCS, RM3_FB_TERMS, RM3_ALPHA,
+                        RM3_MAX_DF_RATIO)),
     }

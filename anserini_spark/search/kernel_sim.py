@@ -21,7 +21,7 @@ min_dl)`` upper-bounds every posting in a block.
 from __future__ import annotations
 
 from collections import Counter
-from typing import Callable, Dict
+from typing import Callable, Dict, Optional
 
 import numpy as np
 from pyspark.sql import DataFrame
@@ -59,8 +59,11 @@ def _shape_qljm(df: int, cf: int, n: float, avgdl: float, sum_tf: float,
     def shape(tf, dl):
         tf = tf.astype(np.float64)
         dl = dl.astype(np.float64)
+        # log(1 + x), not log1p: Lucene LMJelinekMercerSimilarity
+        # computes Math.log(1 + ...) (rounds 1+x first) and the DuckDB
+        # oracle's ln(1.0 + x) does the same — bit-parity on tie order
         return np.maximum(
-            0.0, np.log1p(((1.0 - lam) * tf / dl) / (lam * p_c))
+            0.0, np.log(1.0 + ((1.0 - lam) * tf / dl) / (lam * p_c))
         )
 
     return shape
@@ -148,14 +151,19 @@ def search_kernel_similarity(
     sim: str,
     k: int = 1000,
     prune: bool = True,
+    boosts: Optional[Dict[int, Dict[str, float]]] = None,
     **params,
 ) -> DataFrame:
     """Retrieve with a named similarity through the block-index
     kernel. Per-query term boosts are occurrence counts (bag of
-    words); per-term shapes carry the term statistics."""
+    words) unless explicit ``boosts`` maps (qid -> term -> weight)
+    are given — the BoostQuery analogue for expansion models (RM3)
+    running through the float64 shape path; contribution is then
+    ``boost * shape(term stats, tf, dl)``."""
     builder = _BUILDERS[sim]
-    per_q = {qid: Counter(index.analyze_query(t))
-             for qid, t in queries.items()}
+    per_q = (dict(boosts) if boosts is not None else
+             {qid: Counter(index.analyze_query(t))
+              for qid, t in queries.items()})
     all_terms = sorted({t for c in per_q.values() for t in c})
     empty = "qid int, docid string, rank int, score double"
     if not all_terms:

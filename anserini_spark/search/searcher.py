@@ -487,7 +487,16 @@ def _segment_score_fn(
         # unique/sort churn per query — the batch-throughput hot path
         mask = np.zeros(count, dtype=bool)
         for qid, wmap in weights.items():
-            terms = [t for t in wmap if t in groups]
+            # SEGMENT-INDEPENDENT term order, (query weight desc, term):
+            # float addition is order-sensitive, so two docs holding the
+            # same contribution multiset must accumulate in the same
+            # order in EVERY segment or their totals drift 1 ulp apart
+            # and break score ties inconsistently with the (score desc,
+            # docid asc) contract. The global weight (boost*idf) tracks
+            # the MaxScore impact order, so pruning stays effective;
+            # correctness of the suffix-bound logic is order-agnostic.
+            terms = sorted((t for t in wmap if t in groups),
+                           key=lambda t: (-float(wmap[t]), t))
             if not terms:
                 continue
             if not prune:
@@ -560,7 +569,12 @@ def _maxscore_query(terms, wmap, meta, get_decoded, decode_subset, acc,
             t: float(wmap[t] * m[1].max())
             for t, m in ((t, meta[t]) for t in terms)
         }
-    order = sorted(terms, key=lambda t: -ubs[t])
+    # keep the caller's segment-independent order (weight desc, term):
+    # the per-segment ubs feed the suffix-bound THRESHOLD math, which is
+    # valid in any processing order; re-sorting by segment-local ubs
+    # would make per-doc addition order segment-dependent (see
+    # score_segment) for a marginal pruning gain
+    order = list(terms)
     suffix = np.concatenate(
         [np.cumsum([ubs[t] for t in order][::-1])[::-1][1:], [0.0]]
     )

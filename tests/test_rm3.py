@@ -93,3 +93,22 @@ def test_boost_path_identity_with_uniform_boosts(spark, tiny_index):
     b = [(r["qid"], r["docid"], r["rank"], round(float(r["score"]), 6))
          for r in search_kernel(idx, q, p, boosts=boosts).collect()]
     assert a == b
+
+
+def test_kernel_similarity_boosts_path(spark, tiny_index):
+    """The float64 shape path with explicit boosts (the rm3_topk gate
+    engine) is rank-identical to the float32 kernel's boosted path —
+    the BoostQuery analogue behaves the same in both engines."""
+    from anserini_spark.search.kernel_sim import search_kernel_similarity
+
+    idx = InvertedIndex(spark, tiny_index)
+    p = BM25Params(k=20)
+    first = search_kernel(idx, QUERIES, p)
+    boosts = rm3_boosts(idx, QUERIES, first, fb_docs=5, fb_terms=8,
+                        alpha=0.5)
+    f32 = search_kernel(idx, QUERIES, p, boosts=boosts)
+    f64 = search_kernel_similarity(idx, QUERIES, "bm25", k=20,
+                                   k1=p.k1, b=p.b, boosts=boosts)
+    a = [(r["qid"], r["docid"], r["rank"]) for r in f32.collect()]
+    b = [(r["qid"], r["docid"], r["rank"]) for r in f64.collect()]
+    assert a == b
