@@ -137,6 +137,81 @@ def ndcg_at_k(run: DataFrame, qrels: DataFrame, k: int = 20) -> float:
     return float(row or 0.0)
 
 
+def _graded_dedup(qrels: DataFrame) -> DataFrame:
+    return (
+        qrels.filter(F.col("grade") > 0)
+        .groupBy("qid", "docid")
+        .agg(F.max("grade").alias("grade"))
+    )
+
+
+def gd_ndcg_at_k(run: DataFrame, qrels: DataFrame, k: int = 20) -> float:
+    """gdeval ndcg@k (`eval/gdeval.pl` dcg sub — the reference's web
+    track contract, `regression/cw09b.yaml` ndcg20): EXPONENTIAL gain
+    ``2^grade - 1`` (trec_eval's ndcg_cut uses the raw grade),
+    ``log2(rank+1)`` discount, ideal DCG from the topic's grades
+    sorted descending cut at k; macro-averaged over topics present in
+    BOTH the run and the positive qrels (gdeval default, no ``-c``)."""
+    graded = _graded_dedup(qrels)
+    gain = F.pow(F.lit(2.0), F.col("grade").cast("double")) - F.lit(1.0)
+    dcg = (
+        run.filter(F.col("rank") <= k)
+        .join(graded, ["qid", "docid"])
+        .groupBy("qid")
+        .agg(F.sum(gain / F.log2(F.col("rank") + 1.0)).alias("dcg"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("grade"), F.asc("docid"))
+    idcg = (
+        graded.withColumn("i", F.row_number().over(w))
+        .filter(F.col("i") <= k)
+        .groupBy("qid")
+        .agg(F.sum(gain / F.log2(F.col("i") + 1.0)).alias("idcg"))
+    )
+    topics = run.select("qid").distinct().join(idcg, "qid")
+    per_q = topics.join(dcg, "qid", "left").select(
+        (F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("idcg")).alias("ndcg")
+    )
+    row = per_q.agg(F.avg("ndcg")).collect()[0][0]
+    return float(row or 0.0)
+
+
+def err_at_k(run: DataFrame, qrels: DataFrame, k: int = 20,
+             max_grade: int = 4) -> float:
+    """gdeval err@k (`eval/gdeval.pl` err sub): per rank i (1-based),
+    ``r_i = (2^g_i - 1) / 2^MAX_JUDGMENT`` (MAX_JUDGMENT = 4, a
+    constant of the script, NOT the data maximum), then the cascade
+    ``sum_i r_i / i * prod_{j<i} (1 - r_j)``. Declarative: the decay
+    product is ``exp(sum(ln(1 - r)))`` over the preceding-rows window
+    (r <= 15/16 < 1, so the log is finite). Averaged over run∩qrels
+    topics like gd_ndcg_at_k."""
+    graded = _graded_dedup(qrels)
+    hits = (
+        run.filter(F.col("rank") <= k)
+        .join(graded, ["qid", "docid"], "left")
+        .withColumn(
+            "r",
+            (F.pow(F.lit(2.0),
+                   F.coalesce(F.col("grade"), F.lit(0)).cast("double"))
+             - F.lit(1.0)) / F.lit(float(2 ** max_grade)),
+        )
+    )
+    w = (Window.partitionBy("qid").orderBy("rank")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    decay = F.exp(F.coalesce(
+        F.sum(F.log(F.lit(1.0) - F.col("r"))).over(w), F.lit(0.0)))
+    per_q = (
+        hits.withColumn("c", F.col("r") * decay / F.col("rank"))
+        .groupBy("qid")
+        .agg(F.sum("c").alias("err"))
+    )
+    topics = run.select("qid").distinct().join(
+        graded.select("qid").distinct(), "qid")
+    row = (topics.join(per_q, "qid", "left")
+           .select(F.coalesce(F.col("err"), F.lit(0.0)).alias("err"))
+           .agg(F.avg("err")).collect()[0][0])
+    return float(row or 0.0)
+
+
 def evaluate(run: DataFrame, qrels: DataFrame) -> dict:
     """The reference's headline triple (BASELINE.md rows)."""
     return {
@@ -145,4 +220,8 @@ def evaluate(run: DataFrame, qrels: DataFrame) -> dict:
         "recall@1000": round(recall_at_k(run, qrels, 1000), 4),
         "p@30": round(precision_at_k(run, qrels, 30), 4),
         "ndcg@20": round(ndcg_at_k(run, qrels, 20), 4),
+        # gdeval pair — the web-track regression contract
+        # (`regression/cw09b.yaml:54-64` runs eval/gdeval.pl)
+        "gd_ndcg@20": round(gd_ndcg_at_k(run, qrels, 20), 4),
+        "err@20": round(err_at_k(run, qrels, 20), 4),
     }

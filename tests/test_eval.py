@@ -3,6 +3,8 @@
 import pytest
 
 from anserini_spark.eval.metrics import (
+    err_at_k,
+    gd_ndcg_at_k,
     evaluate,
     map_at,
     mrr_at_k,
@@ -83,7 +85,8 @@ def test_ndcg(spark, case):
 def test_evaluate_bundle(spark, case):
     run, qrels = case
     m = evaluate(run, qrels)
-    assert set(m) == {"mrr@10", "map", "recall@1000", "p@30", "ndcg@20"}
+    assert set(m) == {"mrr@10", "map", "recall@1000", "p@30", "ndcg@20",
+                      "gd_ndcg@20", "err@20"}
     assert m["mrr@10"] == 0.5
 
 
@@ -101,3 +104,67 @@ def test_ndcg_duplicate_qrels_rows(spark):
         "qid int, docid string, grade int")  # dup rows + a lower-grade dup
     assert ndcg_at_k(run, dup, 20) == pytest.approx(
         ndcg_at_k(run, clean, 20))
+
+
+def test_gdeval_ndcg_exponential_gain(spark, case):
+    """gdeval ndcg@20 golden, hand-computed on the fixture:
+    q1 gains (2^g - 1): a(g=1)->1 @r1, c(g=2)->3 @r3;
+       DCG = 1/log2(2) + 3/log2(4) = 1 + 1.5 = 2.5
+       IDCG = 3/log2(2) + 1/log2(3); q2 DCG = 1/log2(3),
+       IDCG = 1 + 1/log2(3); q3 in run & qrels but no hit -> 0."""
+    import math
+
+    run, qrels = case
+    l3 = math.log2(3.0)
+    expect = (2.5 / (3.0 + 1.0 / l3)
+              + (1.0 / l3) / (1.0 + 1.0 / l3)
+              + 0.0) / 3.0
+    assert gd_ndcg_at_k(run, qrels, 20) == pytest.approx(expect, abs=1e-12)
+
+
+def test_gdeval_err(spark, case):
+    """gdeval err@20 golden (MAX_JUDGMENT=4 -> r = (2^g - 1)/16):
+    q1: r=[1/16, 0, 3/16] -> 1/16 + (3/16)(15/16)/3 = 0.12109375
+    q2: r=[0, 1/16]      -> (1/16)/2 = 0.03125 ; q3 -> 0."""
+    run, qrels = case
+    expect = (0.0625 + (3.0 / 16) * (15.0 / 16) / 3 + 0.03125 + 0.0) / 3.0
+    assert err_at_k(run, qrels, 20) == pytest.approx(expect, abs=1e-12)
+    assert expect == pytest.approx(0.05078125)
+
+
+def test_gdeval_sequential_reference(spark, case):
+    """Cross-check the declarative window implementation against a
+    literal sequential transcription of gdeval.pl's err/dcg loops."""
+    import math
+
+    run, qrels = case
+    rel = {}
+    for r in qrels.collect():
+        if r["grade"] > 0:
+            rel[(r["qid"], r["docid"])] = max(
+                r["grade"], rel.get((r["qid"], r["docid"]), 0))
+    by_q = {}
+    for r in run.collect():
+        by_q.setdefault(r["qid"], []).append((r["rank"], r["docid"]))
+    qrels_topics = {q for q, _ in rel}
+    errs, ndcgs = [], []
+    for q in sorted(set(by_q) & qrels_topics):
+        ranked = [g for _, d in sorted(by_q[q])
+                  for g in [rel.get((q, d), 0)]]
+        err, decay = 0.0, 1.0
+        dcg = 0.0
+        for i, g in enumerate(ranked[:20]):
+            r_i = (2 ** g - 1) / 2 ** 4
+            err += r_i * decay / (i + 1)
+            decay *= 1 - r_i
+            dcg += (2 ** g - 1) / math.log2(i + 2)
+        ideal = sorted((g for (qq, _), g in rel.items() if qq == q),
+                       reverse=True)
+        idcg = sum((2 ** g - 1) / math.log2(i + 2)
+                   for i, g in enumerate(ideal[:20]))
+        errs.append(err)
+        ndcgs.append(dcg / idcg if idcg else 0.0)
+    assert err_at_k(run, qrels, 20) == pytest.approx(
+        sum(errs) / len(errs), abs=1e-12)
+    assert gd_ndcg_at_k(run, qrels, 20) == pytest.approx(
+        sum(ndcgs) / len(ndcgs), abs=1e-12)

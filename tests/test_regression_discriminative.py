@@ -38,11 +38,14 @@ VOCAB = 2000
 # pinned 4-decimal metrics — the discriminative regression gate
 PINNED = {
     "bm25": {"mrr@10": 1.0, "map": 0.8043, "recall@1000": 0.8333,
-             "p@30": 0.3333, "ndcg@20": 0.9228},
+             "p@30": 0.3333, "ndcg@20": 0.9228,
+             "gd_ndcg@20": 0.9407, "err@20": 0.3568},
     "qld": {"mrr@10": 1.0, "map": 0.8111, "recall@1000": 0.8333,
-            "p@30": 0.3333, "ndcg@20": 0.9241},
+            "p@30": 0.3333, "ndcg@20": 0.9241,
+            "gd_ndcg@20": 0.9416, "err@20": 0.3569},
     "rm3": {"mrr@10": 1.0, "map": 0.968, "recall@1000": 1.0,
-            "p@30": 0.4, "ndcg@20": 0.9912},
+            "p@30": 0.4, "ndcg@20": 0.9912,
+            "gd_ndcg@20": 0.9908, "err@20": 0.3596},
 }
 # k1=1.2 moves bm25 to map 0.8111 / ndcg@20 0.9279 — the perturbation
 # gate test below asserts the pin trips.

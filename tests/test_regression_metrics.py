@@ -77,11 +77,14 @@ QRELS = [
 # independently below, so a pin mismatch means the ENGINE moved)
 PINNED = {
     "bm25": {"mrr@10": 1.0, "map": 0.9167, "recall@1000": 0.9167,
-             "p@30": 0.075, "ndcg@20": 0.9601},
+             "p@30": 0.075, "ndcg@20": 0.9601,
+             "gd_ndcg@20": 0.9697, "err@20": 0.2169},
     "qld": {"mrr@10": 1.0, "map": 0.9167, "recall@1000": 0.9167,
-            "p@30": 0.075, "ndcg@20": 0.9601},
+            "p@30": 0.075, "ndcg@20": 0.9601,
+            "gd_ndcg@20": 0.9697, "err@20": 0.2169},
     "rm3": {"mrr@10": 1.0, "map": 0.9167, "recall@1000": 0.9167,
-            "p@30": 0.075, "ndcg@20": 0.9601},
+            "p@30": 0.075, "ndcg@20": 0.9601,
+            "gd_ndcg@20": 0.9697, "err@20": 0.2169},
 }
 
 
@@ -125,6 +128,7 @@ def pure_python_metrics(run_rows, qrels_rows, k_mrr=10, cutoff=1000,
     for r in run_rows:
         by_q[r["qid"]].append((r["rank"], r["docid"]))
     mrr, ap, rec, prec, ndcg = [], [], [], [], []
+    gd_ndcg, err = [], []
     for q, relset in rel.items():
         ranked = sorted(by_q.get(q, []))
         rr = 0.0
@@ -147,6 +151,19 @@ def pure_python_metrics(run_rows, qrels_rows, k_mrr=10, cutoff=1000,
         ideal = sorted((grade[(q, d)] for d in relset), reverse=True)[:k_ndcg]
         idcg = sum(g / math.log2(i + 2) for i, g in enumerate(ideal))
         ndcg.append(dcg / idcg if idcg > 0 else 0.0)
+        # gdeval.pl pair: exponential gain 2^g - 1; ERR cascade with
+        # the script's MAX_JUDGMENT=4 constant (sequential transcription)
+        gdcg = sum((2 ** grade[(q, d)] - 1) / math.log2(rank + 1)
+                   for rank, d in ranked if rank <= k_ndcg and d in relset)
+        gidcg = sum((2 ** g - 1) / math.log2(i + 2)
+                    for i, g in enumerate(ideal))
+        gd_ndcg.append(gdcg / gidcg if gidcg > 0 else 0.0)
+        e, decay = 0.0, 1.0
+        for i, (rank, d) in enumerate(ranked[:k_ndcg]):
+            r_i = (2 ** grade.get((q, d), 0) - 1) / 2 ** 4
+            e += r_i * decay / (i + 1)
+            decay *= 1 - r_i
+        err.append(e)
     n = len(rel)
     return {
         "mrr@10": round(sum(mrr) / n, 4),
@@ -154,6 +171,8 @@ def pure_python_metrics(run_rows, qrels_rows, k_mrr=10, cutoff=1000,
         "recall@1000": round(sum(rec) / n, 4),
         "p@30": round(sum(prec) / n, 4),
         "ndcg@20": round(sum(ndcg) / n, 4),
+        "gd_ndcg@20": round(sum(gd_ndcg) / n, 4),
+        "err@20": round(sum(err) / n, 4),
     }
 
 
