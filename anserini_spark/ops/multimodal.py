@@ -2,18 +2,23 @@
 opaque ``binary`` columns with typed metadata, processed by
 Arrow-batched ``mapInPandas`` kernels.
 
-Decoding: PPM (P6) images decode FOR REAL (pure numpy header+raster
-parse — no imaging library needed), with a 4x4 mean-pooled grayscale
-grid as the 16-dim feature. Compressed formats (JPEG/PNG/...) raise
-NotImplementedError — those codecs are not available in this
-container — and ``fake=True`` substitutes a deterministic pseudo
-decoder so the Spark-side plumbing (schema, batching, partitioning,
-UDF signatures) is exercised end-to-end either way.
+Decoding: PPM (P6) and PNG (8-bit gray/RGB/RGBA, non-interlaced)
+images decode FOR REAL — PPM is a pure numpy header+raster parse, PNG
+is stdlib ``zlib`` inflate + per-scanline unfilter (none/sub/up/
+average/paeth) — no imaging library needed. Features are a 4x4
+mean-pooled grayscale grid (16-dim). JPEG (and exotic PNG variants:
+16-bit, palette, Adam7 interlace) raise NotImplementedError — a DCT
+codec is not available in this container — and ``fake=True``
+substitutes a deterministic pseudo decoder so the Spark-side plumbing
+(schema, batching, partitioning, UDF signatures) is exercised
+end-to-end either way.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -50,10 +55,20 @@ def _synth_ppm(i: int) -> bytes:
     return f"P6\n{w} {h}\n255\n".encode() + raster.tobytes()
 
 
+def _synth_png(i: int) -> bytes:
+    """Deterministic small 8-bit RGB PNG (seeded pixels, filter type
+    cycling over all 5 so the decoder's reconstructions stay covered)."""
+    rng = np.random.default_rng(i)
+    w, h = int(rng.integers(8, 33)), int(rng.integers(8, 33))
+    raster = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    return encode_png(raster, filter_type=i % 5)
+
+
 def synth_media(spark: SparkSession, n: int = 64,
                 real_images: bool = False) -> DataFrame:
     """Deterministic media table; ``real_images=True`` gives image
-    rows actual PPM payloads (decodable), else opaque seeded bytes."""
+    rows actual payloads (decodable), alternating PPM and real
+    zlib-compressed PNG, else opaque seeded bytes."""
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             ids = b["id"].to_numpy()
@@ -62,8 +77,12 @@ def synth_media(spark: SparkSession, n: int = 64,
             mimes = []
             for i, kind in zip(ids, kinds):
                 if real_images and kind == "image":
-                    payloads.append(_synth_ppm(int(i)))
-                    mimes.append("image/x-portable-pixmap")
+                    if (int(i) // 3) % 2 == 0:
+                        payloads.append(_synth_ppm(int(i)))
+                        mimes.append("image/x-portable-pixmap")
+                    else:
+                        payloads.append(_synth_png(int(i)))
+                        mimes.append("image/png")
                 else:
                     payloads.append(
                         hashlib.sha256(f"media-{int(i)}".encode()).digest() * 4
@@ -79,6 +98,54 @@ def synth_media(spark: SparkSession, n: int = 64,
             yield pd.DataFrame(out)
 
     return spark.range(n).toDF("id").mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """Minimal PNG encoder (8-bit gray/RGB/RGBA, one IDAT, chosen
+    filter type on every scanline) — the synthesis/round-trip
+    counterpart of ``_decode_png``; also how tests cover all 5 filter
+    reconstructions."""
+    pixels = np.asarray(pixels, dtype=np.uint8)
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, ch = pixels.shape
+    color = {1: 0, 3: 2, 4: 6}[ch]
+    flat = pixels.reshape(h, w * ch).astype(np.int32)
+    lines = []
+    prev = np.zeros(w * ch, dtype=np.int32)
+    zc = np.zeros(ch, dtype=np.int32)
+    for y in range(h):
+        cur = flat[y]
+        left = np.concatenate([zc, cur[:-ch]])
+        ul = np.concatenate([zc, prev[:-ch]])
+        if filter_type == 0:
+            f = cur
+        elif filter_type == 1:
+            f = cur - left
+        elif filter_type == 2:
+            f = cur - prev
+        elif filter_type == 3:
+            f = cur - (left + prev) // 2
+        elif filter_type == 4:
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, ul))
+            f = cur - pred
+        else:
+            raise ValueError(f"filter_type {filter_type}")
+        lines.append(bytes([filter_type])
+                     + (f % 256).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(t: bytes, d: bytes) -> bytes:
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+            + chunk(b"IEND", b""))
 
 
 def _parse_ppm_header(payload: bytes) -> tuple:
@@ -120,21 +187,117 @@ def _decode_ppm(payload: bytes) -> dict:
     return {"width": w, "height": h, "feature": feat}
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray, RGB, RGBA (8-bit)
+
+
+def _png_chunks(payload: bytes):
+    pos = len(_PNG_SIG)
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        yield ctype, data
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IEND":
+            return
+
+
+def _unfilter_scanline(ft: int, cur: np.ndarray, prev: np.ndarray,
+                       bpp: int) -> np.ndarray:
+    """Reconstruct one scanline (uint8) from its filtered bytes —
+    PNG spec §9 filters. none/up/sub are vectorized (sub is a
+    per-lane cumulative sum mod 256); average/paeth depend on the
+    reconstructed left neighbor, so they run per byte."""
+    if ft == 0:
+        return cur.copy()
+    if ft == 2:  # up
+        return cur + prev  # uint8 wraparound == mod-256 add
+    if ft == 1:  # sub: recon[x] = cur[x] + recon[x - bpp]
+        out = cur.astype(np.uint32).reshape(-1, bpp)
+        return (np.cumsum(out, axis=0, dtype=np.uint32) % 256).astype(
+            np.uint8).reshape(-1)
+    out = np.empty_like(cur)
+    if ft == 3:  # average
+        for x in range(len(cur)):
+            left = int(out[x - bpp]) if x >= bpp else 0
+            out[x] = (int(cur[x]) + (left + int(prev[x])) // 2) & 0xFF
+        return out
+    if ft == 4:  # paeth
+        for x in range(len(cur)):
+            a = int(out[x - bpp]) if x >= bpp else 0
+            b = int(prev[x])
+            c = int(prev[x - bpp]) if x >= bpp else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out[x] = (int(cur[x]) + pred) & 0xFF
+        return out
+    raise NotImplementedError(f"PNG filter type {ft}")
+
+
+def _decode_png(payload: bytes) -> dict:
+    """Real PNG decode: stdlib zlib inflate + numpy unfilter. Supports
+    8-bit depth, color types 0/2/6 (gray/RGB/RGBA), no interlace —
+    the shapes a training pipeline normalizes to anyway; everything
+    else raises NotImplementedError (honest codec limitation)."""
+    w = h = None
+    idat = []
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data)
+            if depth != 8 or color not in _PNG_CHANNELS or interlace:
+                raise NotImplementedError(
+                    f"PNG depth={depth} color={color} "
+                    f"interlace={interlace}: only 8-bit gray/RGB/RGBA "
+                    "non-interlaced supported")
+            ch = _PNG_CHANNELS[color]
+        elif ctype == b"IDAT":
+            idat.append(data)
+    if w is None or not idat:
+        raise ValueError("PNG without IHDR/IDAT")
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    raw = raw.reshape(h, stride + 1)
+    prev = np.zeros(stride, dtype=np.uint8)
+    rows = []
+    for y in range(h):
+        prev = _unfilter_scanline(int(raw[y, 0]), raw[y, 1:], prev, ch)
+        rows.append(prev)
+    img = np.stack(rows).reshape(h, w, ch).astype(np.float32)
+    gray = img[:, :, :3].mean(axis=2) / 255.0 if ch >= 3 \
+        else img[:, :, 0] / 255.0
+    ys = np.linspace(0, h, 5).astype(int)
+    xs = np.linspace(0, w, 5).astype(int)
+    feat = np.array(
+        [gray[ys[r]:max(ys[r + 1], ys[r] + 1),
+              xs[c]:max(xs[c + 1], xs[c] + 1)].mean()
+         for r in range(4) for c in range(4)],
+        dtype=np.float32,
+    )
+    return {"width": int(w), "height": int(h), "feature": feat,
+            "pixels": np.stack(rows).reshape(h, w, ch)}
+
+
 def decode_image(payload: bytes, fake: bool = False) -> dict:
-    """Decode an image payload: PPM (P6) decodes for real; compressed
-    formats raise (no codec libraries in this container) unless
-    ``fake=True``."""
-    if not fake:
-        if payload[:2] == b"P6":
-            return _decode_ppm(payload)
-        raise NotImplementedError(
-            "only binary PPM (P6) is decodable without an imaging "
-            "library; pass fake=True for the deterministic stub"
-        )
+    """Decode an image payload: PPM (P6) and PNG (8-bit, see
+    _decode_png) decode for real; other compressed formats (JPEG)
+    raise — no DCT codec in this container — unless ``fake=True``."""
     if payload[:2] == b"P6":
-        # decodable payloads always decode for real, even in fake mode —
-        # the stub exists only for opaque (compressed) bytes
         return _decode_ppm(payload)
+    if payload[:8] == _PNG_SIG:
+        # decodable payloads always decode for real, even in fake mode
+        d = _decode_png(payload)
+        return {k: d[k] for k in ("width", "height", "feature")}
+    if not fake:
+        raise NotImplementedError(
+            "only binary PPM (P6) and 8-bit PNG are decodable without "
+            "an imaging library; pass fake=True for the deterministic "
+            "stub"
+        )
     h = hashlib.sha256(payload).digest()
     return {
         "width": 64 + h[0],
@@ -181,18 +344,34 @@ def resize_image(payload: bytes, out_w: int, out_h: int) -> bytes:
 def resize_images(media: DataFrame, out_w: int = 16,
                   out_h: int = 16) -> DataFrame:
     """mapInPandas resize over image rows -> (media_id, payload) of
-    uniformly-sized PPMs."""
+    uniformly-sized PPMs. PNG inputs are decoded (zlib + unfilter)
+    and format-normalized to PPM on the way — the
+    normalize-everything-to-one-raster-shape stage of a training-data
+    image pipeline. Undecodable payloads are skipped."""
     schema = T.StructType([
         T.StructField("media_id", T.LongType(), False),
         T.StructField("payload", T.BinaryType(), False),
     ])
 
+    def _to_ppm(p: bytes):
+        if p[:2] == b"P6":
+            return p
+        if p[:8] == _PNG_SIG:
+            px = _decode_png(p)["pixels"]
+            if px.shape[2] == 1:
+                px = np.repeat(px, 3, axis=2)
+            elif px.shape[2] == 4:
+                px = px[:, :, :3]
+            h, w, _ = px.shape
+            return f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+        return None
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = {"media_id": [], "payload": []}
             for mid, payload in zip(b["media_id"], b["payload"]):
-                p = bytes(payload)
-                if p[:2] != b"P6":
+                p = _to_ppm(bytes(payload))
+                if p is None:
                     continue
                 rows["media_id"].append(int(mid))
                 rows["payload"].append(resize_image(p, out_w, out_h))

@@ -352,3 +352,71 @@ def test_minhash_gate_banding_equals_bruteforce(spark):
     brute = {(r["doc_a"], r["doc_b"]): r["jaccard"]
              for r in ngram_jaccard_pairs(spark, SF, max_doc=1 << 60).collect()}
     assert got == brute
+
+
+def test_png_roundtrip_all_filters():
+    """PNG decode is real: encode seeded rasters with each of the 5
+    PNG filter types (and gray/RGB/RGBA color types), decode with the
+    stdlib-zlib + numpy-unfilter path, require exact pixel recovery."""
+    import numpy as np
+    import pytest as _pytest
+
+    from anserini_spark.ops.multimodal import (
+        _decode_png,
+        decode_image,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(7)
+    for ft in range(5):
+        for ch in (1, 3, 4):
+            px = rng.integers(0, 256, size=(11, 7, ch), dtype=np.uint8)
+            payload = encode_png(px, filter_type=ft)
+            d = _decode_png(payload)
+            assert (d["width"], d["height"]) == (7, 11), (ft, ch)
+            assert np.array_equal(d["pixels"], px), (ft, ch)
+    # smooth gradient (the case filters 3/4 exist for)
+    grad = np.add.outer(np.arange(16) * 3, np.arange(16) * 5)
+    px = np.stack([grad, grad + 1, grad + 2], axis=2).astype(np.uint8)
+    for ft in (3, 4):
+        d = _decode_png(encode_png(px, filter_type=ft))
+        assert np.array_equal(d["pixels"], px)
+    # decode_image dispatch: PNG decodes even in fake mode; features valid
+    d = decode_image(encode_png(px, 4), fake=True)
+    assert d["width"] == 16 and len(d["feature"]) == 16
+    assert all(0.0 <= float(v) <= 1.0 for v in d["feature"])
+    # unsupported variants stay honest NotImplementedError
+    import struct
+    import zlib as _zlib
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr16 = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+    bad = (sig + struct.pack(">I", len(ihdr16)) + b"IHDR" + ihdr16
+           + struct.pack(">I", _zlib.crc32(b"IHDR" + ihdr16)))
+    with _pytest.raises(NotImplementedError):
+        decode_image(bad)
+
+
+def test_multimodal_png_pipeline(spark):
+    """The Spark pipeline handles mixed PPM/PNG image rows: features
+    extract for both formats and resize format-normalizes PNG -> PPM."""
+    from anserini_spark.ops.multimodal import (
+        decode_image,
+        extract_features,
+        resize_images,
+        synth_media,
+    )
+
+    media = synth_media(spark, 36, real_images=True)
+    mimes = {r["media_id"]: r["mime"]
+             for r in media.filter("kind = 'image'").collect()}
+    assert "image/png" in set(mimes.values())
+    assert "image/x-portable-pixmap" in set(mimes.values())
+    feats = extract_features(media, fake=False).collect()
+    assert len(feats) == len(mimes)
+    for r in feats:
+        assert 8 <= r["width"] <= 32 and len(r["feature"]) == 16
+    resized = resize_images(media, 12, 12).collect()
+    assert len(resized) == len(mimes)  # PNG rows resized too
+    for r in resized:
+        d = decode_image(bytes(r["payload"]))
+        assert (d["width"], d["height"]) == (12, 12)
