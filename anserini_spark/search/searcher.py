@@ -761,7 +761,35 @@ class SimpleSearcher:
     def unset_axiom(self) -> None:
         self._axiom = None
 
-    def batch_search(self, queries: Dict[int, str], k: int = 1000) -> DataFrame:
+    def batch_search(self, queries, qids: Optional[List[str]] = None,
+                     k: int = 1000, threads: int = -1):
+        """Two forms, mirroring the reference's Python-bridge surface:
+
+        * ``batch_search({qid_int: query}, k=...)`` -> DataFrame
+          (qid, docid, rank, score) — the native engine form.
+        * ``batch_search([query, ...], [qid_str, ...], k, threads)`` ->
+          ``{qid: [(docid, rank, score), ...]}`` — the reference's
+          ``SimpleSearcher.batchSearch(List, List, int, int)``
+          (`SimpleSearcher.java:213-284`). ``threads`` sizes the
+          reference's executor pool; here the whole batch runs as ONE
+          Spark job whose parallelism is the cluster's (the packed
+          per-(segment, qid) kernel), so it is accepted for signature
+          compatibility and validated only.
+        """
+        if not isinstance(queries, dict):
+            if qids is None or len(qids) != len(queries):
+                raise ValueError("list-form batch_search needs qids "
+                                 "with one id per query")
+            if threads == 0 or threads < -1:
+                raise ValueError(f"invalid threads {threads}")
+            surrogate = {i: q for i, q in enumerate(queries)}
+            df = self.batch_search(surrogate, k=k)
+            out: Dict[str, List[Tuple[str, int, float]]] = {
+                str(q): [] for q in qids}
+            for r in df.collect():
+                out[str(qids[r["qid"]])].append(
+                    (r["docid"], r["rank"], r["score"]))
+            return out
         params = BM25Params(k1=self.params.k1, b=self.params.b, k=k,
                             lossy=self.params.lossy)
         if self._axiom is not None:

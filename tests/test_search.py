@@ -88,3 +88,26 @@ def test_score_ties_strictly_decreasing(spark, tiny_index):
     rows = _rows(search_kernel(idx, {5: "scan"}, BM25Params(k=50)))
     scores = [r[3] for r in rows]
     assert all(a > b for a, b in zip(scores, scores[1:])), "ties not adjusted"
+
+
+def test_batch_search_list_form(spark, tiny_index):
+    """Reference-parity batch_search(List[str] queries, List[str] qids,
+    k, threads) -> {qid: [(docid, rank, score)]}
+    (`SimpleSearcher.java:213-284`), identical hits to the dict form."""
+    from anserini_spark.search.searcher import SimpleSearcher
+
+    s = SimpleSearcher(spark, tiny_index)
+    queries = ["spark merge join", "customer value"]
+    got = s.batch_search(queries, ["q-a", "q-b"], k=5, threads=4)
+    assert set(got) == {"q-a", "q-b"}
+    df = s.batch_search({0: queries[0], 1: queries[1]}, k=5)
+    want = {"q-a": [], "q-b": []}
+    for r in df.collect():
+        want["q-a" if r["qid"] == 0 else "q-b"].append(
+            (r["docid"], r["rank"], r["score"]))
+    assert got == want
+    assert [h[1] for h in got["q-a"]] == [1, 2, 3, 4, 5]
+    with pytest.raises(ValueError):
+        s.batch_search(queries, ["only-one"], k=5)
+    with pytest.raises(ValueError):
+        s.batch_search(queries, ["a", "b"], k=5, threads=0)
