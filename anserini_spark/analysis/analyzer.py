@@ -65,6 +65,11 @@ def analysis_version(analyzer: str) -> str:
 
     if analyzer == "ws":
         return "ws1"  # pure whitespace split — no chain, no lexicon
+    if analyzer == "impact":
+        # map-typed SLR source: docvecs come from pre-weighted
+        # activation maps, not the tokenizer chain, so the version
+        # must not move when the chain/stop set/lexicon does
+        return "impact1"
     stop_h = hashlib.md5(
         " ".join(sorted(ENGLISH_STOP_WORDS)).encode()
     ).hexdigest()[:8]

@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..analysis.analyzer import analysis_version as _analysis_version
 from ..search.tieadjust import adjust_score_ties
 from .build import (
     DOCVEC_SCHEMA,
@@ -107,6 +108,7 @@ def build_impact_index(
             docs=spark.read.parquet(docvec_path).count(),
             bytes=_dir_bytes(docvec_path),
             lineage={"stage": "docvec", "analyzer": "impact",
+                     "analysis_version": _analysis_version("impact"),
                      "lang": None, "partitions": cfg.doc_partitions,
                      "precision": precision},
         )

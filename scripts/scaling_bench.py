@@ -160,30 +160,76 @@ spark.stop()
                 pd.Series(payloads[i:i + 10000], dtype="object"))
             for text in texts:
                 tot += len(analyze(text))
-        q.put((_t.perf_counter() - t0, tot))
+        assert tot > 0  # keep the chain from being optimized away
+        q.put((_t.perf_counter() - t0, len(payloads)))
 
-    def _ctrl_leg(k: int) -> float:
-        """Aggregate docs/s of k pinned processes (straggler wall)."""
+    def _blocks_worker(q):
+        """REAL blocks-stage kernel (delta+varint block encode + decode
+        verify) over a deterministic synthetic posting run — the blocks
+        analogue of the extraction control."""
+        import time as _t
+
+        import numpy as np
+
+        sys.path.insert(0, REPO)
+        from anserini_spark.index.blocks import decode_block_run, encode_blocks
+        rng = np.random.default_rng(11)
+        n_post = 2_000_000
+        n_terms = 20_000
+        n_docs_seg = 150_000  # match real per-segment doc density so
+        # range-bucket breaks (RANGE_SHIFT) occur at realistic rates
+        tids = np.sort(rng.integers(0, n_terms, n_post))
+        terms = np.array([f"t{i}" for i in range(n_terms)],
+                         dtype=object)[tids]
+        segs = np.zeros(n_post, dtype=np.int64)
+        # ascending doc ids within each term run
+        doc_ids = np.empty(n_post, dtype=np.int64)
+        bounds = np.searchsorted(tids, np.arange(n_terms + 1))
+        for i in range(n_terms):
+            lo, hi = bounds[i], bounds[i + 1]
+            if hi > lo:
+                doc_ids[lo:hi] = np.sort(
+                    rng.choice(n_docs_seg, hi - lo, replace=False))
+        tfs = rng.integers(1, 30, n_post).astype(np.int64)
+        dls = rng.integers(20, 2000, n_post).astype(np.int64)
+        t0 = _t.perf_counter()
+        passes = 3
+        for _ in range(passes):
+            blk = encode_blocks(terms, segs, doc_ids, tfs, dls)
+            decode_block_run(
+                list(blk["docs_bin"][:4000]), list(blk["tfs_bin"][:4000]),
+                list(blk["dls_bin"][:4000]), blk["n"].to_numpy()[:4000],
+                blk["first_doc"].to_numpy()[:4000],
+                blk["last_doc"].to_numpy()[:4000])
+        q.put((_t.perf_counter() - t0, passes * n_post))
+
+    def _run_leg(k: int, target, wargs) -> float:
+        """Aggregate units/s of k pinned processes (straggler wall)."""
         import multiprocessing as mp
         q = mp.Queue()
         ps = []
         for i in range(k):
-            p = mp.Process(target=_ctrl_worker, args=(ctrl_payloads, q))
+            p = mp.Process(target=target, args=(*wargs, q))
             p.start()
             if args.pin:
                 os.sched_setaffinity(p.pid, set(range(k)))
             ps.append(p)
-        walls = [q.get()[0] for _ in ps]
+        outs = [q.get() for _ in ps]
         for p in ps:
             p.join()
-        return k * len(ctrl_payloads) / max(walls)
+        walls = [o[0] for o in outs]
+        units = outs[0][1]
+        return k * units / max(walls)
 
     runs: dict = {"N": [], "4N": []}
     ctrl: dict = {"N": [], "4N": []}
+    ctrl_blocks: dict = {"N": [], "4N": []}
     # interleave the legs so time-varying host noise hits both equally
     for rep in range(args.repeats):
-        ctrl["N"].append(_ctrl_leg(n))
-        ctrl["4N"].append(_ctrl_leg(n4))
+        ctrl["N"].append(_run_leg(n, _ctrl_worker, (ctrl_payloads,)))
+        ctrl["4N"].append(_run_leg(n4, _ctrl_worker, (ctrl_payloads,)))
+        ctrl_blocks["N"].append(_run_leg(n, _blocks_worker, ()))
+        ctrl_blocks["4N"].append(_run_leg(n4, _blocks_worker, ()))
         for label, cores in (("N", n), ("4N", n4)):
             out = os.path.join(work, f"idx_{label}_{rep}")
             shutil.rmtree(out, ignore_errors=True)
@@ -255,7 +301,40 @@ spark.stop()
     ctrl_n = sorted(ctrl["N"])[len(ctrl["N"]) // 2]
     ctrl_n4 = sorted(ctrl["4N"])[len(ctrl["4N"]) // 2]
     ceiling = ctrl_n4 / (4 * ctrl_n)
+    ctrl_bn = sorted(ctrl_blocks["N"])[len(ctrl_blocks["N"]) // 2]
+    ctrl_bn4 = sorted(ctrl_blocks["4N"])[len(ctrl_blocks["4N"]) // 2]
+    blocks_ceiling = ctrl_bn4 / (4 * ctrl_bn)
+    # ---- per-stage >=0.8 gate (round-4 verdict task 5) ----------------
+    # each stage's raw N->4N efficiency next to its OWN same-window
+    # pure-process control (the real kernel, no Spark): docvec vs the
+    # extraction+analysis control, blocks vs the block-encode control.
+    # A stage passes if raw >= 0.8 OR its host-relative efficiency
+    # >= 0.8 (the host itself often cannot deliver 4x).
+    stage_gate = {}
+    for s, ceil_val in (("docvec", ceiling), ("blocks", blocks_ceiling)):
+        w_n = results["N"]["stage_breakdown"][s]
+        w_4n = results["4N"]["stage_breakdown"][s]
+        raw = w_n / max(4 * w_4n, 1e-9)
+        rel = raw / ceil_val if ceil_val else None
+        stage_gate[s] = {
+            "wall_N_s": w_n,
+            "wall_4N_s": w_4n,
+            "eff_raw": round(raw, 3),
+            "ctrl_ceiling": round(ceil_val, 3),
+            "eff_vs_ceiling": round(rel, 3) if rel is not None else None,
+            "meets_0.8": bool(raw >= 0.8 or (rel or 0) >= 0.8),
+        }
     report = {
+        "per_stage_gate": stage_gate,
+        "blocks_control": {
+            "what": "pinned pure processes running the real "
+                    "encode_blocks+decode kernel",
+            "N_postings_per_sec": round(ctrl_bn, 1),
+            "4N_postings_per_sec": round(ctrl_bn4, 1),
+            "all_N": [round(x) for x in ctrl_blocks["N"]],
+            "all_4N": [round(x) for x in ctrl_blocks["4N"]],
+            "ceiling_efficiency": round(blocks_ceiling, 3),
+        },
         "host_control": {
             "what": "pure-process real extraction+analysis kernel, "
                     "pinned, interleaved with the Spark legs",
@@ -314,6 +393,24 @@ spark.stop()
             f"{results['N']['stage_breakdown'][s] / max(4 * results['4N']['stage_breakdown'][s], 1e-9):.3f} |"
             for s in ("docvec", "blocks", "dictionary", "stats")
         ],
+        "",
+        "**Per-stage >=0.8 gate** (each stage beside its own "
+        "same-window pure-process control running the REAL kernel — "
+        "extraction+analysis for docvec, encode_blocks+decode for "
+        "blocks; pass = raw >= 0.8 OR host-relative >= 0.8):",
+        "",
+        "| stage | raw eff | control ceiling | eff vs ceiling | >=0.8 |",
+        "|---|---|---|---|---|",
+        *[
+            f"| {s} | {g['eff_raw']:.3f} | {g['ctrl_ceiling']:.3f} | "
+            f"{g['eff_vs_ceiling']:.3f} | "
+            f"{'PASS' if g['meets_0.8'] else 'FAIL'} |"
+            for s, g in stage_gate.items()
+        ],
+        "",
+        f"Blocks control legs (postings/s): N "
+        f"{[round(x) for x in ctrl_blocks['N']]}, 4N "
+        f"{[round(x) for x in ctrl_blocks['4N']]}.",
         "",
         f"Same-window host control (pure pinned processes running the "
         f"real extraction+analysis kernel, no Spark): "

@@ -211,3 +211,16 @@ def test_analysis_version_gate(spark, tiny_index, tmp_path):
         json.dump(man, f)
     with pytest.raises(ValueError, match="analyzer version"):
         InvertedIndex(spark, stale, cache=False)
+
+
+def test_analysis_version_impact_chain_independent():
+    """SLR/impact docvecs come from pre-weighted activation maps, not
+    the tokenizer chain, so their version must be a constant that does
+    NOT move when the stop set / lexicon does — otherwise every chain
+    change would spuriously refuse valid impact indexes."""
+    from anserini_spark.analysis.analyzer import analysis_version
+
+    assert analysis_version("impact") == "impact1"
+    # the chain-backed analyzers DO embed chain/lexicon hashes
+    assert analysis_version("porter").startswith("tok1.stop")
+    assert ".kstem" in analysis_version("krovetz")
