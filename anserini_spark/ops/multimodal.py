@@ -2,16 +2,17 @@
 opaque ``binary`` columns with typed metadata, processed by
 Arrow-batched ``mapInPandas`` kernels.
 
-Decoding: PPM (P6) and PNG (8-bit gray/RGB/RGBA, non-interlaced)
-images decode FOR REAL — PPM is a pure numpy header+raster parse, PNG
-is stdlib ``zlib`` inflate + per-scanline unfilter (none/sub/up/
-average/paeth) — no imaging library needed. Features are a 4x4
-mean-pooled grayscale grid (16-dim). JPEG (and exotic PNG variants:
-16-bit, palette, Adam7 interlace) raise NotImplementedError — a DCT
-codec is not available in this container — and ``fake=True``
-substitutes a deterministic pseudo decoder so the Spark-side plumbing
-(schema, batching, partitioning, UDF signatures) is exercised
-end-to-end either way.
+Decoding: PPM (P6), PNG (8-bit gray/RGB/RGBA, non-interlaced), and
+baseline JPEG all decode FOR REAL with no imaging library — PPM is a
+pure numpy header+raster parse, PNG is stdlib ``zlib`` inflate +
+per-scanline unfilter (none/sub/up/average/paeth), JPEG is the
+huffman + dequantize + IDCT codec in ``jpeg.py`` (SOF0, 4:4:4/4:2:0,
+restart intervals). Features are a 4x4 mean-pooled grayscale grid
+(16-dim). Exotic variants (progressive JPEG, 16-bit/palette/Adam7
+PNG) raise NotImplementedError, and ``fake=True`` substitutes a
+deterministic pseudo decoder so the Spark-side plumbing (schema,
+batching, partitioning, UDF signatures) is exercised end-to-end
+either way.
 """
 
 from __future__ import annotations
@@ -64,11 +65,23 @@ def _synth_png(i: int) -> bytes:
     return encode_png(raster, filter_type=i % 5)
 
 
+def _synth_jpeg(i: int) -> bytes:
+    """Deterministic small baseline JPEG (seeded pixels; alternates
+    4:4:4 and 4:2:0 so both scan structures stay covered)."""
+    from .jpeg import encode_jpeg
+
+    rng = np.random.default_rng(i)
+    w, h = int(rng.integers(8, 33)), int(rng.integers(8, 33))
+    raster = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    return encode_jpeg(raster, quality=90, subsample=bool(i % 2))
+
+
 def synth_media(spark: SparkSession, n: int = 64,
                 real_images: bool = False) -> DataFrame:
     """Deterministic media table; ``real_images=True`` gives image
-    rows actual payloads (decodable), alternating PPM and real
-    zlib-compressed PNG, else opaque seeded bytes."""
+    rows actual payloads (decodable), cycling PPM, real
+    zlib-compressed PNG, and real baseline JPEG, else opaque seeded
+    bytes."""
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             ids = b["id"].to_numpy()
@@ -77,12 +90,16 @@ def synth_media(spark: SparkSession, n: int = 64,
             mimes = []
             for i, kind in zip(ids, kinds):
                 if real_images and kind == "image":
-                    if (int(i) // 3) % 2 == 0:
+                    fmt = (int(i) // 3) % 3
+                    if fmt == 0:
                         payloads.append(_synth_ppm(int(i)))
                         mimes.append("image/x-portable-pixmap")
-                    else:
+                    elif fmt == 1:
                         payloads.append(_synth_png(int(i)))
                         mimes.append("image/png")
+                    else:
+                        payloads.append(_synth_jpeg(int(i)))
+                        mimes.append("image/jpeg")
                 else:
                     payloads.append(
                         hashlib.sha256(f"media-{int(i)}".encode()).digest() * 4
@@ -282,21 +299,50 @@ def _decode_png(payload: bytes) -> dict:
             "pixels": np.stack(rows).reshape(h, w, ch)}
 
 
+def _grid_feature(gray: np.ndarray) -> np.ndarray:
+    """4x4 mean-pooled grid of a [0,1] grayscale image -> 16-dim."""
+    h, w = gray.shape
+    ys = np.linspace(0, h, 5).astype(int)
+    xs = np.linspace(0, w, 5).astype(int)
+    return np.array(
+        [gray[ys[r]:max(ys[r + 1], ys[r] + 1),
+              xs[c]:max(xs[c + 1], xs[c] + 1)].mean()
+         for r in range(4) for c in range(4)],
+        dtype=np.float32,
+    )
+
+
+def _decode_jpeg_payload(payload: bytes) -> dict:
+    """Baseline-JPEG decode via the pure stdlib+numpy codec in
+    jpeg.py (huffman + dequantize + IDCT), features like PPM/PNG."""
+    from .jpeg import decode_jpeg
+
+    px = decode_jpeg(payload)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    gray = px[:, :, :3].mean(axis=2) / 255.0 if px.shape[2] >= 3 \
+        else px[:, :, 0].astype(np.float32) / 255.0
+    return {"width": int(px.shape[1]), "height": int(px.shape[0]),
+            "feature": _grid_feature(gray), "pixels": px}
+
+
 def decode_image(payload: bytes, fake: bool = False) -> dict:
-    """Decode an image payload: PPM (P6) and PNG (8-bit, see
-    _decode_png) decode for real; other compressed formats (JPEG)
-    raise — no DCT codec in this container — unless ``fake=True``."""
+    """Decode an image payload: PPM (P6), PNG (8-bit, see _decode_png)
+    and baseline JPEG (see jpeg.py) decode for real; undecodable
+    payloads raise unless ``fake=True``."""
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
     if payload[:8] == _PNG_SIG:
         # decodable payloads always decode for real, even in fake mode
         d = _decode_png(payload)
         return {k: d[k] for k in ("width", "height", "feature")}
+    if payload[:2] == b"\xff\xd8":
+        d = _decode_jpeg_payload(payload)
+        return {k: d[k] for k in ("width", "height", "feature")}
     if not fake:
         raise NotImplementedError(
-            "only binary PPM (P6) and 8-bit PNG are decodable without "
-            "an imaging library; pass fake=True for the deterministic "
-            "stub"
+            "payload is not binary PPM (P6), 8-bit PNG, or baseline "
+            "JPEG; pass fake=True for the deterministic stub"
         )
     h = hashlib.sha256(payload).digest()
     return {
@@ -344,10 +390,10 @@ def resize_image(payload: bytes, out_w: int, out_h: int) -> bytes:
 def resize_images(media: DataFrame, out_w: int = 16,
                   out_h: int = 16) -> DataFrame:
     """mapInPandas resize over image rows -> (media_id, payload) of
-    uniformly-sized PPMs. PNG inputs are decoded (zlib + unfilter)
-    and format-normalized to PPM on the way — the
-    normalize-everything-to-one-raster-shape stage of a training-data
-    image pipeline. Undecodable payloads are skipped."""
+    uniformly-sized PPMs. PNG (zlib + unfilter) and baseline JPEG
+    (huffman + IDCT) inputs are decoded and format-normalized to PPM
+    on the way — the normalize-everything-to-one-raster-shape stage of
+    a training-data image pipeline. Undecodable payloads are skipped."""
     schema = T.StructType([
         T.StructField("media_id", T.LongType(), False),
         T.StructField("payload", T.BinaryType(), False),
@@ -358,13 +404,16 @@ def resize_images(media: DataFrame, out_w: int = 16,
             return p
         if p[:8] == _PNG_SIG:
             px = _decode_png(p)["pixels"]
-            if px.shape[2] == 1:
-                px = np.repeat(px, 3, axis=2)
-            elif px.shape[2] == 4:
-                px = px[:, :, :3]
-            h, w, _ = px.shape
-            return f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
-        return None
+        elif p[:2] == b"\xff\xd8":
+            px = _decode_jpeg_payload(p)["pixels"]
+        else:
+            return None
+        if px.shape[2] == 1:
+            px = np.repeat(px, 3, axis=2)
+        elif px.shape[2] == 4:
+            px = px[:, :, :3]
+        h, w, _ = px.shape
+        return f"P6\n{w} {h}\n255\n".encode() + px.astype(np.uint8).tobytes()
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:

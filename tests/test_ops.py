@@ -226,8 +226,8 @@ def test_ann_ivf_recall_and_agreement(spark):
 
 def test_multimodal_real_ppm_decode(spark):
     """PPM image rows decode FOR REAL through the Spark plumbing:
-    true dimensions, 16-dim pooled features in [0,1]; compressed
-    formats still raise."""
+    true dimensions, 16-dim pooled features in [0,1]; unknown formats
+    still raise."""
     import pytest as _pytest
     from anserini_spark.ops.multimodal import (
         decode_image,
@@ -243,6 +243,9 @@ def test_multimodal_real_ppm_decode(spark):
         assert len(r["feature"]) == 16
         assert all(0.0 <= v <= 1.0 for v in r["feature"])
     with _pytest.raises(NotImplementedError):
+        decode_image(b"GIF89a not a supported payload")
+    # truncated JPEG dispatches to the real codec and fails loudly
+    with _pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0JFIF-like")
 
 
@@ -397,8 +400,9 @@ def test_png_roundtrip_all_filters():
 
 
 def test_multimodal_png_pipeline(spark):
-    """The Spark pipeline handles mixed PPM/PNG image rows: features
-    extract for both formats and resize format-normalizes PNG -> PPM."""
+    """The Spark pipeline handles mixed PPM/PNG/JPEG image rows:
+    features extract for all three formats and resize
+    format-normalizes PNG/JPEG -> PPM."""
     from anserini_spark.ops.multimodal import (
         decode_image,
         extract_features,
@@ -411,6 +415,7 @@ def test_multimodal_png_pipeline(spark):
              for r in media.filter("kind = 'image'").collect()}
     assert "image/png" in set(mimes.values())
     assert "image/x-portable-pixmap" in set(mimes.values())
+    assert "image/jpeg" in set(mimes.values())
     feats = extract_features(media, fake=False).collect()
     assert len(feats) == len(mimes)
     for r in feats:
