@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inl2_index_topk": iq.inl2_index_topk,
         "sdm_topk": iq.sdm_topk,
         "rm3_topk": iq.rm3_topk,
+        "bm25prf_topk": iq.bm25prf_topk,
         "doclen_histogram": cq.doclen_histogram,
         "top_bigrams": cq.top_bigrams,
         # dedup family

@@ -160,6 +160,39 @@ def rm3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "rank")
 
 
+BM25PRF_FB_DOCS = 10
+BM25PRF_FB_TERMS = 20
+
+
+def bm25prf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-query BM25PRF (Robertson-Sparck-Jones relevance-weight
+    pseudo feedback, `rerank/lib/BM25PrfReranker.java:67-330`) end to
+    end through the block index: float64 BM25 first pass, RSJ weight
+    estimation over the top-10 feedback docs (hygiene filter, dfRel
+    >= 2, offer-weight prune to 20 terms, original query terms kept
+    with their own rw), and a re-search where score(d) =
+    sum_t rw(t) * tf-part with idf ≡ 1 (BM25PrfSimilarity). The
+    DuckDB oracle recomputes every stage — including the RSJ log —
+    in pure SQL."""
+    idx = InvertedIndex(spark, _gate_index(spark, sf_dir))
+    queries = _fixed_queries()
+    first = search_kernel_similarity(idx, queries, "bm25", k=TOPK,
+                                     k1=K1, b=B)
+    from ..search.bm25prf import bm25prf_boosts
+
+    boosts = bm25prf_boosts(idx, queries, first,
+                            fb_docs=BM25PRF_FB_DOCS,
+                            fb_terms=BM25PRF_FB_TERMS)
+    hits = search_kernel_similarity(idx, queries, "bm25prf", k=TOPK,
+                                    k1=K1, b=B, boosts=boosts)
+    return hits.select(
+        "qid",
+        F.col("docid").cast("long").alias("doc_id"),
+        "rank",
+        "score",
+    ).orderBy("qid", "rank")
+
+
 def sdm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-query Sequential Dependence Model top-10 through a
     POSITIONAL block index (`-storePositions`) + the per-segment SDM
@@ -552,6 +585,122 @@ WHERE rank <= {TOPK}
 """
 
 
+def _bm25prf_oracle(k1: float, b: float, fb_docs: int,
+                    fb_terms: int) -> str:
+    """Full BM25PRF in pure SQL (`BM25PrfReranker.java:67-330`): BM25
+    first pass, RSJ relevance weights over the top-fb_docs feedback
+    set (dfRel = feedback docs containing the term), offer-weight
+    prune (rw * ln(dfRel), dfRel >= 2) to fb_terms expansion terms
+    with hygiene, original query terms kept with their own rw, then a
+    re-search scored rw * tf-part with idf ≡ 1 (BM25PrfSimilarity)."""
+    c0, cb = k1 * (1 - b), k1 * b
+    idf = "ln(1.0 + (s.n - d.dfreq + 0.5) / (d.dfreq + 0.5))"
+    tfpart = (f"CAST(tf.tf AS DOUBLE) / (CAST(tf.tf AS DOUBLE) + {c0!r}"
+              f" + {cb!r} / s.avgdl * CAST(dl.doclen AS DOUBLE))")
+    rsj = """
+         CASE WHEN (dfreq - dr + 0.5) * (r - dr + 0.5) > 0
+               AND (dr + 0.5) * (n - dfreq - r + dr + 0.5) > 0
+              THEN ln(((dr + 0.5) * (n - dfreq - r + dr + 0.5))
+                      / ((dfreq - dr + 0.5) * (r - dr + 0.5)))
+              ELSE 0.0 END"""
+    return f"""
+WITH {_TOK_CTE},
+q(qid, term) AS (VALUES {_values_clause()}),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(doclen) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+),
+alldf AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS dfreq FROM tf GROUP BY term
+),
+fp0 AS (
+  SELECT q.qid, tf.doc_id, sum({idf} * {tfpart}) AS score
+  FROM q
+  JOIN alldf d ON q.term = d.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id
+),
+fb AS (
+  SELECT qid, doc_id FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+    FROM fp0
+  )
+  WHERE rank <= {fb_docs}
+),
+rsize AS (
+  SELECT qid, CAST(count(*) AS DOUBLE) AS r FROM fb GROUP BY qid
+),
+relc AS (
+  SELECT fb.qid, tf.term,
+         CAST(count(DISTINCT tf.doc_id) AS DOUBLE) AS dr
+  FROM fb
+  JOIN tf ON tf.doc_id = fb.doc_id
+  GROUP BY fb.qid, tf.term
+),
+rsjt AS (
+  SELECT qid, term, dr, {rsj} AS rw
+  FROM (
+    SELECT rc.qid, rc.term, rc.dr, d.dfreq, rs.r, s.n
+    FROM relc rc
+    JOIN alldf d ON d.term = rc.term
+    JOIN rsize rs ON rs.qid = rc.qid
+    CROSS JOIN stats s
+    WHERE regexp_matches(rc.term, '^[a-z0-9]+$')
+      AND length(rc.term) BETWEEN 2 AND 20
+  )
+),
+expn AS (
+  SELECT qid, term, rw FROM (
+    SELECT qid, term, rw, row_number() OVER (
+        PARTITION BY qid ORDER BY rw * ln(dr) DESC, term) AS rn
+    FROM rsjt
+    WHERE dr >= 2 AND rw > 0
+  )
+  WHERE rn <= {fb_terms}
+),
+qrsj AS (
+  SELECT qid, term, {rsj} AS rw
+  FROM (
+    SELECT qt.qid, qt.term, coalesce(rc.dr, 0.0) AS dr,
+           d.dfreq, rs.r, s.n
+    FROM (SELECT DISTINCT qid, term FROM q) qt
+    JOIN alldf d ON d.term = qt.term
+    JOIN rsize rs ON rs.qid = qt.qid
+    CROSS JOIN stats s
+    LEFT JOIN relc rc ON rc.qid = qt.qid AND rc.term = qt.term
+  )
+),
+boosts AS (
+  SELECT qid, term, rw FROM expn
+  UNION ALL
+  SELECT qr.qid, qr.term, qr.rw FROM qrsj qr
+  WHERE qr.rw > 0 AND NOT EXISTS (
+    SELECT 1 FROM expn e WHERE e.qid = qr.qid AND e.term = qr.term
+  )
+),
+scored AS (
+  SELECT bq.qid, tf.doc_id, sum(bq.rw * {tfpart}) AS score
+  FROM boosts bq
+  JOIN tf ON tf.term = bq.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY bq.qid, tf.doc_id
+)
+SELECT qid, doc_id, rank, round(score, 4) AS score
+FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank,
+         score
+  FROM scored
+)
+WHERE rank <= {TOPK}
+"""
+
+
 def oracle_sqls() -> dict[str, str]:
     # the corpus oracles, plus the ScoreTiesAdjuster transform the
     # engine applies (round 4, perturb duplicate runs by 1e-6*i)
@@ -564,4 +713,6 @@ def oracle_sqls() -> dict[str, str]:
         "rm3_topk": _with_tie_adjust(
             _rm3_oracle(K1, B, RM3_FB_DOCS, RM3_FB_TERMS, RM3_ALPHA,
                         RM3_MAX_DF_RATIO)),
+        "bm25prf_topk": _with_tie_adjust(
+            _bm25prf_oracle(K1, B, BM25PRF_FB_DOCS, BM25PRF_FB_TERMS)),
     }

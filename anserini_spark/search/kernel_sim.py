@@ -134,8 +134,24 @@ def _shape_bm25(df: int, cf: int, n: float, avgdl: float, sum_tf: float,
     return shape
 
 
+def _shape_bm25prf(df: int, cf: int, n: float, avgdl: float, sum_tf: float,
+                   k1: float = 0.9, b: float = 0.4):
+    """BM25PrfSimilarity (`rerank/lib/BM25PrfReranker.java:54-65`):
+    the BM25 tf-part with idf ≡ 1 — the RSJ relevance weight arrives
+    as the per-term boost, so contribution = rw * tf-part."""
+    c1 = k1 * (1.0 - b)
+    c2 = k1 * b / avgdl
+
+    def shape(tf, dl):
+        tf = tf.astype(np.float64)
+        return tf / (tf + c1 + c2 * dl.astype(np.float64))
+
+    return shape
+
+
 _BUILDERS: Dict[str, Callable] = {
     "bm25": _shape_bm25,
+    "bm25prf": _shape_bm25prf,
     "qld": _shape_qld,
     "qljm": _shape_qljm,
     "inl2": _shape_inl2,

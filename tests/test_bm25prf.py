@@ -74,3 +74,23 @@ def test_idf_free_boost_scoring(spark, tiny_index, tiny_docs):
         prev_round = r
         want.append((url, rank, round(r - dup * 1e-6, 6)))
     assert got == want
+
+
+def test_bm25prf_f64_shape_matches_f32_kernel(spark, tiny_index):
+    """The float64 `bm25prf` similarity shape (the bm25prf_topk gate
+    engine: rw * tf-part, idf ≡ 1) is rank-identical to the float32
+    kernel's boosts_are_final path on the same RSJ boost maps."""
+    from anserini_spark.search.bm25prf import bm25prf_boosts
+    from anserini_spark.search.kernel_sim import search_kernel_similarity
+
+    idx = InvertedIndex(spark, tiny_index)
+    p = BM25Params(k=20)
+    first = search_kernel(idx, QUERIES, p)
+    boosts = bm25prf_boosts(idx, QUERIES, first, fb_docs=5, fb_terms=10)
+    f32 = search_kernel(idx, QUERIES, p, boosts=boosts,
+                        boosts_are_final=True)
+    f64 = search_kernel_similarity(idx, QUERIES, "bm25prf", k=20,
+                                   k1=p.k1, b=p.b, boosts=boosts)
+    a = [(r["qid"], r["docid"], r["rank"]) for r in f32.collect()]
+    b = [(r["qid"], r["docid"], r["rank"]) for r in f64.collect()]
+    assert a == b
