@@ -193,6 +193,87 @@ def bm25prf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "rank")
 
 
+EVAL_K = 50
+# deterministic portable qrels: judged iff the first two hex chars of
+# md5("qid:doc_id") fall in 00..03 (density 1/64), grade 1..4 from the
+# third hex char — both Spark and DuckDB compute identical md5 hex
+_QREL_DENSITY_PREFIX = "03"
+
+
+def _grade_expr(h_col: str) -> str:
+    """SQL (valid in both Spark and DuckDB): grade 1..4 from the third
+    hex char of the md5 key."""
+    return (f"((instr('0123456789abcdef', substring({h_col}, 3, 1)) - 1)"
+            f" % 4) + 1")
+
+
+def eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External gate for the evaluation module (`eval/metrics.py` —
+    trec_eval MAP/P@k/recall/ndcg_cut + the msmarco MRR@10 and the
+    gdeval ndcg20/err20 pair, `eval/gdeval.pl`): a BM25 run through
+    the real block index at k=50 is scored against a deterministic
+    synthetic qrels (md5-keyed so DuckDB rebuilds it bit-identically:
+    1/64 of (qid, doc) pairs judged by hash, plus every run top-20 doc
+    judged so DCG/ERR accumulate on every topic; grade 1..4 from the
+    md5 hex). The oracle recomputes the run AND all seven metrics in
+    pure SQL; one row per (metric, value-rounded-6)."""
+    idx = InvertedIndex(spark, _gate_index(spark, sf_dir))
+    queries = _fixed_queries()
+    hits = search_kernel_similarity(idx, queries, "bm25", k=EVAL_K,
+                                    k1=K1, b=B)
+    run = hits.select(
+        "qid",
+        F.col("docid").cast("long").cast("string").alias("docid"),
+        "rank", "score",
+    ).persist()
+    run.count()
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("text").isNotNull() & (F.trim(F.col("text")) != ""))
+        .select(F.col("doc_id").cast("string").alias("docid"))
+    )
+    qids = spark.createDataFrame([(q,) for q in sorted(queries)],
+                                 "qid int")
+    key = F.md5(F.concat(F.col("qid").cast("string"), F.lit(":"),
+                         F.col("docid")))
+    hash_judged = (
+        F.broadcast(qids).crossJoin(docs)
+        .withColumn("h", key)
+        .filter(F.substring("h", 1, 2) <= _QREL_DENSITY_PREFIX)
+    )
+    run_judged = (
+        run.filter(F.col("rank") <= 20).select("qid", "docid")
+        .withColumn("h", key)
+    )
+    qrels = (
+        hash_judged.select("qid", "docid", "h")
+        .union(run_judged)
+        .distinct()
+        .withColumn("grade", F.expr(_grade_expr("h")).cast("int"))
+        .select("qid", "docid", "grade")
+        .persist()
+    )
+    qrels.count()
+
+    from ..eval import metrics as M
+
+    vals = [
+        ("err20", M.err_at_k(run, qrels, 20)),
+        ("gd_ndcg20", M.gd_ndcg_at_k(run, qrels, 20)),
+        ("map", M.map_at(run, qrels, EVAL_K)),
+        ("mrr10", M.mrr_at_k(run, qrels, 10)),
+        ("ndcg_cut20", M.ndcg_at_k(run, qrels, 20)),
+        ("p10", M.precision_at_k(run, qrels, 10)),
+        ("recall50", M.recall_at_k(run, qrels, EVAL_K)),
+    ]
+    run.unpersist()
+    qrels.unpersist()
+    return spark.createDataFrame(
+        [(n, round(v, 6)) for n, v in vals], "metric string, value double"
+    )
+
+
 def sdm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-query Sequential Dependence Model top-10 through a
     POSITIONAL block index (`-storePositions`) + the per-segment SDM
@@ -701,6 +782,158 @@ WHERE rank <= {TOPK}
 """
 
 
+def _eval_metrics_oracle(k1: float, b: float, eval_k: int) -> str:
+    """All seven evaluation metrics in pure SQL over a recomputed
+    BM25@k run and the md5-keyed synthetic qrels (`eval/metrics.py`
+    contracts: trec_eval MAP / P@10 / recall / ndcg_cut.20 linear
+    gain, msmarco MRR@10, gdeval ndcg20 exponential gain + err20
+    cascade with MAX_JUDGMENT = 4)."""
+    grade = _grade_expr("h")
+    return f"""
+WITH {_TOK_CTE},
+q(qid, term) AS (VALUES {_values_clause()}),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(doclen) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+),
+dfreq AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS dfreq FROM tf
+  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term
+),
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         sum(
+           ln(1.0 + (s.n - d.dfreq + 0.5) / (d.dfreq + 0.5))
+           * CAST(tf.tf AS DOUBLE)
+           / (CAST(tf.tf AS DOUBLE) + {k1 * (1 - b)!r}
+              + {k1 * b!r} / s.avgdl * CAST(dl.doclen AS DOUBLE))
+         ) AS score
+  FROM q
+  JOIN dfreq d ON q.term = d.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id
+),
+run AS (
+  SELECT qid, CAST(doc_id AS VARCHAR) AS docid, rank FROM (
+    SELECT qid, doc_id, row_number() OVER (
+        PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+    FROM scored)
+  WHERE rank <= {eval_k}
+),
+qids AS (SELECT DISTINCT qid FROM q),
+allkeys AS (
+  SELECT qids.qid, CAST(docs.doc_id AS VARCHAR) AS docid,
+         md5(CAST(qids.qid AS VARCHAR) || ':'
+             || CAST(docs.doc_id AS VARCHAR)) AS h
+  FROM qids CROSS JOIN docs
+),
+judged AS (
+  SELECT qid, docid, h FROM allkeys
+  WHERE substring(h, 1, 2) <= '{_QREL_DENSITY_PREFIX}'
+  UNION
+  SELECT a.qid, a.docid, a.h FROM allkeys a
+  JOIN run r ON r.qid = a.qid AND r.docid = a.docid AND r.rank <= 20
+),
+qrels AS (SELECT qid, docid, {grade} AS grade FROM judged),
+nt AS (SELECT CAST(count(DISTINCT qid) AS DOUBLE) AS nt FROM qrels),
+nrel AS (
+  SELECT qid, CAST(count(*) AS DOUBLE) AS n_rel FROM qrels GROUP BY qid
+),
+hits AS (
+  SELECT r.qid, r.rank, qr.grade
+  FROM run r JOIN qrels qr ON qr.qid = r.qid AND qr.docid = r.docid
+),
+mrr_q AS (
+  SELECT qid, 1.0 / min(rank) AS rr FROM hits WHERE rank <= 10 GROUP BY qid
+),
+mrr_v AS (
+  SELECT coalesce(sum(rr), 0.0) / (SELECT nt FROM nt) AS v FROM mrr_q
+),
+ap_q AS (
+  SELECT qid, sum(CAST(hit_idx AS DOUBLE) / rank) AS sum_p FROM (
+    SELECT qid, rank, row_number() OVER (
+        PARTITION BY qid ORDER BY rank) AS hit_idx
+    FROM hits)
+  GROUP BY qid
+),
+map_v AS (
+  SELECT avg(coalesce(a.sum_p, 0.0) / n.n_rel) AS v
+  FROM nrel n LEFT JOIN ap_q a ON a.qid = n.qid
+),
+rec_v AS (
+  SELECT avg(coalesce(f.found, 0.0) / n.n_rel) AS v
+  FROM nrel n LEFT JOIN (
+    SELECT qid, CAST(count(*) AS DOUBLE) AS found FROM hits GROUP BY qid
+  ) f ON f.qid = n.qid
+),
+p10_v AS (
+  SELECT CAST((SELECT count(*) FROM hits WHERE rank <= 10) AS DOUBLE)
+         / (10.0 * (SELECT nt FROM nt)) AS v
+),
+ideal AS (
+  SELECT qid, grade, row_number() OVER (
+      PARTITION BY qid ORDER BY grade DESC, docid) AS i
+  FROM qrels
+),
+dcg_q AS (
+  SELECT qid, sum(CAST(grade AS DOUBLE) / log2(rank + 1.0)) AS dcg
+  FROM hits WHERE rank <= 20 GROUP BY qid
+),
+idcg_q AS (
+  SELECT qid, sum(CAST(grade AS DOUBLE) / log2(i + 1.0)) AS idcg
+  FROM ideal WHERE i <= 20 GROUP BY qid
+),
+ndcg_v AS (
+  SELECT avg(coalesce(d.dcg, 0.0) / i.idcg) AS v
+  FROM idcg_q i LEFT JOIN dcg_q d ON d.qid = i.qid
+),
+gdcg_q AS (
+  SELECT qid, sum((pow(2.0, grade) - 1.0) / log2(rank + 1.0)) AS dcg
+  FROM hits WHERE rank <= 20 GROUP BY qid
+),
+gidcg_q AS (
+  SELECT qid, sum((pow(2.0, grade) - 1.0) / log2(i + 1.0)) AS idcg
+  FROM ideal WHERE i <= 20 GROUP BY qid
+),
+gndcg_v AS (
+  SELECT avg(coalesce(g.dcg, 0.0) / i.idcg) AS v
+  FROM (SELECT DISTINCT qid FROM run) rq
+  JOIN gidcg_q i ON i.qid = rq.qid
+  LEFT JOIN gdcg_q g ON g.qid = rq.qid
+),
+err_rows AS (
+  SELECT r.qid, r.rank,
+         (pow(2.0, coalesce(qr.grade, 0)) - 1.0) / 16.0 AS rr
+  FROM run r LEFT JOIN qrels qr ON qr.qid = r.qid AND qr.docid = r.docid
+  WHERE r.rank <= 20
+),
+err_q AS (
+  SELECT qid, sum(rr * exp(coalesce(sum_ln, 0.0)) / rank) AS err FROM (
+    SELECT qid, rank, rr,
+           sum(ln(1.0 - rr)) OVER (PARTITION BY qid ORDER BY rank
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS sum_ln
+    FROM err_rows)
+  GROUP BY qid
+),
+err_v AS (
+  SELECT avg(coalesce(e.err, 0.0)) AS v
+  FROM (SELECT DISTINCT r.qid FROM run r
+        JOIN (SELECT DISTINCT qid FROM qrels) g ON g.qid = r.qid) t
+  LEFT JOIN err_q e ON e.qid = t.qid
+)
+SELECT 'err20' AS metric, round(v, 6) AS value FROM err_v
+UNION ALL SELECT 'gd_ndcg20', round(v, 6) FROM gndcg_v
+UNION ALL SELECT 'map', round(v, 6) FROM map_v
+UNION ALL SELECT 'mrr10', round(v, 6) FROM mrr_v
+UNION ALL SELECT 'ndcg_cut20', round(v, 6) FROM ndcg_v
+UNION ALL SELECT 'p10', round(v, 6) FROM p10_v
+UNION ALL SELECT 'recall50', round(v, 6) FROM rec_v
+"""
+
+
 def oracle_sqls() -> dict[str, str]:
     # the corpus oracles, plus the ScoreTiesAdjuster transform the
     # engine applies (round 4, perturb duplicate runs by 1e-6*i)
@@ -715,4 +948,6 @@ def oracle_sqls() -> dict[str, str]:
                         RM3_MAX_DF_RATIO)),
         "bm25prf_topk": _with_tie_adjust(
             _bm25prf_oracle(K1, B, BM25PRF_FB_DOCS, BM25PRF_FB_TERMS)),
+        # metric values are already rounded scalars — no tie transform
+        "eval_metrics": _eval_metrics_oracle(K1, B, EVAL_K),
     }
