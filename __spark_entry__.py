@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sdm_topk": iq.sdm_topk,
         "rm3_topk": iq.rm3_topk,
         "bm25prf_topk": iq.bm25prf_topk,
+        "axiom_topk": iq.axiom_topk,
         "eval_metrics": iq.eval_metrics,
         "doclen_histogram": cq.doclen_histogram,
         "top_bigrams": cq.top_bigrams,

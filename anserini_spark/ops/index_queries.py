@@ -41,9 +41,14 @@ MU = 1000.0
 
 
 def _gate_index(spark: SparkSession, sf_dir: str,
-                positions: bool = False) -> str:
+                positions: bool = False, bigram: bool = False) -> str:
     """Build (or reuse — fingerprint-keyed dir + resumable manifest)
-    a ws-analyzer block index over the sf documents table."""
+    a ws-analyzer block index over the sf documents table. With
+    ``bigram`` the indexed text is the document's adjacent word pairs
+    concatenated (``spark join col`` -> ``sparkjoin joincol``) — the
+    axiom gate needs mid-frequency terms (df ~5-10%) the 31-word
+    synthetic unigram vocabulary cannot provide, and the derivation
+    is deterministic in both Spark and DuckDB."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     fp = docs.agg(
         F.count("*").alias("n"),
@@ -57,11 +62,22 @@ def _gate_index(spark: SparkSession, sf_dir: str,
 
     tag = (f"{os.path.basename(os.path.normpath(sf_dir))}"
            f"_{fp['n']}_{fp['m']}_{(fp['h'] or 0) & 0xFFFFFFFFFFFF:x}"
-           f"_s{SEG_SHIFT}{'_pos' if positions else ''}")
+           f"_s{SEG_SHIFT}{'_pos' if positions else ''}"
+           f"{'_big' if bigram else ''}")
     out_dir = f"/tmp/anserini_gate_idx_{tag}"
+    if bigram:
+        ftoks = "filter(split(text, ' '), x -> x != '')"
+        text_col = F.expr(
+            f"CASE WHEN size({ftoks}) >= 2 THEN "
+            f"array_join(zip_with(slice({ftoks}, 1, size({ftoks}) - 1), "
+            f"slice({ftoks}, 2, size({ftoks}) - 1), "
+            f"(a, b) -> concat(a, b)), ' ') ELSE '' END"
+        ).alias("text")
+    else:
+        text_col = F.col("text")
     corpus = docs.select(
         F.format_string("%020d", F.col("doc_id")).alias("url"),
-        "text",
+        text_col,
         F.lit("en").alias("lang"),
     )
     build_index(
@@ -184,6 +200,69 @@ def bm25prf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                             fb_docs=BM25PRF_FB_DOCS,
                             fb_terms=BM25PRF_FB_TERMS)
     hits = search_kernel_similarity(idx, queries, "bm25prf", k=TOPK,
+                                    k1=K1, b=B, boosts=boosts)
+    return hits.select(
+        "qid",
+        F.col("docid").cast("long").alias("doc_id"),
+        "rank",
+        "score",
+    ).orderBy("qid", "rank")
+
+
+AXIOM_R = 20
+AXIOM_BETA = 0.4
+AXIOM_M = 20
+# fixed queries over the BIGRAM gate corpus: every term has df ~5-9%
+# of docs at every sf (verified sf0.001/0.01/0.1) so the integer-
+# division idf ln((1+N)//df) is > 0 and pools are not degenerate
+AXIOM_QUERIES = [
+    (1, "sparkjoin"), (1, "mergesort"),
+    (2, "windowbatch"), (2, "streamdata"),
+    (3, "customervalue"), (3, "customerjoin"),
+    (4, "scanfilter"), (4, "orderscan"),
+    (5, "slowkey"), (5, "sortkey"),
+    (6, "tablehash"), (6, "querytable"),
+    (7, "datarow"), (7, "rowcolumn"),
+    (8, "slowquery"), (8, "fastquery"),
+]
+
+
+def _axiom_queries() -> dict[int, str]:
+    queries: dict[int, str] = {}
+    for qid, term in AXIOM_QUERIES:
+        queries[qid] = (queries.get(qid, "") + " " + term).strip()
+    return queries
+
+
+def _axiom_values_clause() -> str:
+    return ", ".join(f"({qid}, '{t}')" for qid, t in AXIOM_QUERIES)
+
+
+def axiom_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-query axiomatic semantic-term-matching reranker
+    (`rerank/lib/AxiomReranker.java:83-553`, deterministic mode)
+    through the block index with the SQL-expressible pool config
+    n=1 (pool = top-r first-pass docs; the reference's extra seeded
+    picks draw from a JVM Random stream no SQL engine reproduces —
+    n is a first-class reference parameter, `-axiom.n`): float64
+    BM25 first pass, pool inverted lists under the [a-z]{2,} noise
+    filter, four-cell mutual information against each query term,
+    score = idf*qtf for the term itself else idf*beta*qtf*MI/selfMI
+    with idf = ln((1+N) // df) in the reference's integer division,
+    top-K slice then 1e-8 threshold, per-term sum / |q| and top-m
+    boosts, then a boosted re-search (boost * idf * tf-part). Runs
+    over the BIGRAM gate index (mid-frequency vocabulary — see
+    `_gate_index`); the DuckDB oracle recomputes every stage —
+    including the MI cells — in pure SQL."""
+    idx = InvertedIndex(spark, _gate_index(spark, sf_dir, bigram=True))
+    queries = _axiom_queries()
+    first = search_kernel_similarity(idx, queries, "bm25", k=AXIOM_R,
+                                     k1=K1, b=B)
+    from ..search.axiom import axiom_boosts
+
+    boosts = axiom_boosts(idx, queries, first, r=AXIOM_R, n=1,
+                          beta=AXIOM_BETA, m=AXIOM_M)
+    hits = search_kernel_similarity(idx, queries, "bm25", k=TOPK,
                                     k1=K1, b=B, boosts=boosts)
     return hits.select(
         "qid",
@@ -782,6 +861,187 @@ WHERE rank <= {TOPK}
 """
 
 
+_BIGRAM_TOK_CTE = """
+docs AS (
+  SELECT doc_id, text FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+),
+arr AS (
+  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS a
+  FROM docs
+),
+tok AS (
+  SELECT doc_id, a[i] || a[i + 1] AS term
+  FROM arr, unnest(range(1, len(a))) AS t(i)
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, term
+),
+dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS doclen FROM tok GROUP BY doc_id
+)
+"""
+
+
+def _axiom_oracle(k1: float, b: float, r: int, beta: float,
+                  m: int) -> str:
+    """Full axiomatic reranking in pure SQL (`AxiomReranker.java:
+    83-553`, n=1 pool) over the bigram-derived corpus: BM25 first
+    pass, pool postings under the [a-z]{2,} filter, four-cell MI per
+    (query term, pool term) added in the reference's cell order
+    (n00, n01, n10, n11), integer-division idf, slice-to-K then
+    >1e-8, sum/|q| + top-m boosts, and the boosted accurate-BM25
+    re-search."""
+    c0, cb = k1 * (1 - b), k1 * b
+    idf = "ln(1.0 + (s.n - d.dfreq + 0.5) / (d.dfreq + 0.5))"
+    tfpart = (f"CAST(tf.tf AS DOUBLE) / (CAST(tf.tf AS DOUBLE) + {c0!r}"
+              f" + {cb!r} / s.avgdl * CAST(dl.doclen AS DOUBLE))")
+    # one MI cell: p*ln(p/(px*py)) with p = cnt/total, skipped at p=0
+    def cell(cnt: str, px: str, py: str) -> str:
+        return (f"CASE WHEN {cnt} > 0 THEN ({cnt} / total)"
+                f" * ln((({cnt}) / total) / (({px}) * ({py})))"
+                f" ELSE 0.0 END")
+
+    px0, px1 = "(total - x1) / total", "x1 / total"
+    py0, py1 = "(total - y1) / total", "y1 / total"
+    mi_sum = " + ".join([
+        cell("(total - x1 - y1 + n11)", px0, py0),
+        cell("(y1 - n11)", px0, py1),
+        cell("(x1 - n11)", px1, py0),
+        cell("n11", px1, py1),
+    ])
+    return f"""
+WITH {_BIGRAM_TOK_CTE},
+q(qid, term) AS (VALUES {_axiom_values_clause()}),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(doclen) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+),
+alldf AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS idf_cnt,
+         CAST(count(*) AS DOUBLE) AS dfreq
+  FROM tf GROUP BY term
+),
+fp0 AS (
+  SELECT q.qid, tf.doc_id,
+         sum({idf} * {tfpart}) AS score
+  FROM q
+  JOIN (SELECT term, dfreq FROM alldf) d ON q.term = d.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id
+),
+pool AS (
+  SELECT qid, doc_id FROM (
+    SELECT qid, doc_id, row_number() OVER (
+        PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+    FROM fp0
+  )
+  WHERE rank <= {r}
+),
+pterm AS (
+  SELECT DISTINCT p.qid, p.doc_id, tf.term
+  FROM pool p JOIN tf ON tf.doc_id = p.doc_id
+  WHERE regexp_matches(tf.term, '^[a-z]+$') AND length(tf.term) >= 2
+),
+pcount AS (
+  SELECT qid, CAST(count(DISTINCT doc_id) AS DOUBLE) AS total
+  FROM pterm GROUP BY qid
+),
+tdf AS (
+  SELECT qid, term, CAST(count(*) AS DOUBLE) AS y1
+  FROM pterm GROUP BY qid, term
+),
+qt AS (
+  SELECT qid, term, CAST(count(*) AS DOUBLE) AS qtf FROM q
+  GROUP BY qid, term
+),
+qlen AS (SELECT qid, CAST(count(*) AS DOUBLE) AS qlen FROM q GROUP BY qid),
+qtin AS (
+  SELECT qt.qid, qt.term AS qterm, qt.qtf, t.y1 AS x1,
+         ln((1 + CAST((SELECT n FROM stats) AS BIGINT)) // a.idf_cnt)
+           AS qidf
+  FROM qt
+  JOIN tdf t ON t.qid = qt.qid AND t.term = qt.term
+  JOIN alldf a ON a.term = qt.term AND a.idf_cnt > 0
+),
+co AS (
+  SELECT a.qid, a.term AS qterm, b.term AS cterm,
+         CAST(count(*) AS DOUBLE) AS n11
+  FROM pterm a
+  JOIN pterm b ON a.qid = b.qid AND a.doc_id = b.doc_id
+  WHERE a.term IN (SELECT DISTINCT term FROM q)
+  GROUP BY a.qid, a.term, b.term
+),
+mi AS (
+  SELECT qid, qterm, qtf, qidf, cterm,
+         CASE WHEN x1 = 0 OR total - x1 = 0 OR y1 = 0
+                   OR total - y1 = 0 THEN 0.0
+              ELSE {mi_sum} END AS mival
+  FROM (
+    SELECT qi.qid, qi.qterm, qi.qtf, qi.qidf, qi.x1,
+           td.term AS cterm, td.y1, pc.total,
+           coalesce(c.n11, 0.0) AS n11
+    FROM qtin qi
+    JOIN tdf td ON td.qid = qi.qid
+    JOIN pcount pc ON pc.qid = qi.qid
+    LEFT JOIN co c ON c.qid = qi.qid AND c.qterm = qi.qterm
+                  AND c.cterm = td.term
+  )
+),
+termscore AS (
+  SELECT m.qid, m.qterm, m.cterm,
+         CASE WHEN m.cterm = m.qterm THEN m.qidf * m.qtf
+              WHEN sm.self_mi <> 0
+                THEN m.qidf * {beta!r} * m.qtf * m.mival / sm.self_mi
+              ELSE 0.0 END AS score
+  FROM mi m
+  JOIN (SELECT qid, qterm, mival AS self_mi FROM mi
+        WHERE cterm = qterm) sm
+    ON sm.qid = m.qid AND sm.qterm = m.qterm
+),
+topk AS (
+  SELECT qid, cterm, score FROM (
+    SELECT qid, qterm, cterm, score, row_number() OVER (
+        PARTITION BY qid, qterm ORDER BY score DESC, cterm) AS rn
+    FROM termscore
+  )
+  WHERE rn <= 1000 AND score > 1e-8
+),
+boosts AS (
+  SELECT qid, cterm AS term, w FROM (
+    SELECT a.qid, a.cterm, a.s / ql.qlen AS w, row_number() OVER (
+        PARTITION BY a.qid ORDER BY a.s / ql.qlen DESC, a.cterm) AS rn
+    FROM (SELECT qid, cterm, sum(score) AS s FROM topk
+          GROUP BY qid, cterm) a
+    JOIN qlen ql ON ql.qid = a.qid
+  )
+  WHERE rn <= {m}
+),
+rescored AS (
+  SELECT bq.qid, tf.doc_id,
+         sum(bq.w * {idf} * {tfpart}) AS score
+  FROM boosts bq
+  JOIN (SELECT term, dfreq FROM alldf) d ON d.term = bq.term
+  JOIN tf ON tf.term = bq.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY bq.qid, tf.doc_id
+)
+SELECT qid, doc_id, rank, round(score, 4) AS score
+FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank,
+         score
+  FROM rescored
+)
+WHERE rank <= {TOPK}
+"""
+
+
 def _eval_metrics_oracle(k1: float, b: float, eval_k: int) -> str:
     """All seven evaluation metrics in pure SQL over a recomputed
     BM25@k run and the md5-keyed synthetic qrels (`eval/metrics.py`
@@ -948,6 +1208,8 @@ def oracle_sqls() -> dict[str, str]:
                         RM3_MAX_DF_RATIO)),
         "bm25prf_topk": _with_tie_adjust(
             _bm25prf_oracle(K1, B, BM25PRF_FB_DOCS, BM25PRF_FB_TERMS)),
+        "axiom_topk": _with_tie_adjust(
+            _axiom_oracle(K1, B, AXIOM_R, AXIOM_BETA, AXIOM_M)),
         # metric values are already rounded scalars — no tie transform
         "eval_metrics": _eval_metrics_oracle(K1, B, EVAL_K),
     }
