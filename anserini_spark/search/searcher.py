@@ -739,10 +739,21 @@ class SimpleSearcher:
         self.engine = engine
         self._rm3: Optional[Tuple[int, int, float]] = None
         self._axiom: Optional[Tuple[int, int, float, int, int]] = None
+        self._qld_mu: Optional[float] = None
 
     def set_bm25(self, k1: float, b: float) -> None:
         self.params = BM25Params(k1=k1, b=b, k=self.params.k,
                                  lossy=self.params.lossy)
+        self._qld_mu = None
+
+    def set_qld(self, mu: float = 1000.0) -> None:
+        """Rank with query-likelihood Dirichlet smoothing instead of
+        BM25 — the `SimpleSearcher.setLMDirichletSimilarity(mu)`
+        analogue (`SimpleSearcher.java:192-198`). Routed through the
+        float64 kernel-similarity path (`kernel_sim.py` "qld" shape,
+        Lucene LMDirichletSimilarity semantics incl. the per-term
+        clamp at 0). Cleared by `set_bm25`."""
+        self._qld_mu = float(mu)
 
     def set_rm3(self, fb_docs: int = 10, fb_terms: int = 10,
                 alpha: float = 0.5) -> None:
@@ -792,6 +803,15 @@ class SimpleSearcher:
             return out
         params = BM25Params(k1=self.params.k1, b=self.params.b, k=k,
                             lossy=self.params.lossy)
+        if self._qld_mu is not None:
+            if self._rm3 is not None or self._axiom is not None:
+                raise NotImplementedError(
+                    "rerankers run over the BM25 first pass; unset them "
+                    "before set_qld or keep BM25 as the base similarity")
+            from .kernel_sim import search_kernel_similarity
+
+            return search_kernel_similarity(self.index, queries, "qld",
+                                            k=k, mu=self._qld_mu)
         if self._axiom is not None:
             from .axiom import search_axiom
 

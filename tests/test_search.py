@@ -111,3 +111,30 @@ def test_batch_search_list_form(spark, tiny_index):
         s.batch_search(queries, ["only-one"], k=5)
     with pytest.raises(ValueError):
         s.batch_search(queries, ["a", "b"], k=5, threads=0)
+
+
+def test_simple_searcher_set_qld(spark, tiny_index):
+    """set_qld routes ranking through the QLD kernel shape
+    (`SimpleSearcher.setLMDirichletSimilarity`, SimpleSearcher.java:
+    192-198); set_bm25 switches back."""
+    from anserini_spark.search.kernel_sim import search_kernel_similarity
+
+    s = SimpleSearcher(spark, tiny_index)
+    bm25 = s.search("spark merge join", k=5)
+    s.set_qld(mu=1000.0)
+    qld = s.search("spark merge join", k=5)
+    idx = s.index
+    want = [(r["docid"], r["rank"], r["score"]) for r in
+            search_kernel_similarity(idx, {0: "spark merge join"}, "qld",
+                                     k=5, mu=1000.0).collect()]
+    assert qld == want
+    assert qld != bm25  # different similarity, different scores
+    s.set_rm3()
+    try:
+        s.search("spark", k=5)
+        raise AssertionError("qld+rm3 must refuse, not silently ignore")
+    except NotImplementedError:
+        pass
+    s.unset_rm3()
+    s.set_bm25(0.9, 0.4)
+    assert s.search("spark merge join", k=5) == bm25
