@@ -46,6 +46,11 @@ PINNED = {
     "rm3": {"mrr@10": 1.0, "map": 0.968, "recall@1000": 1.0,
             "p@30": 0.4, "ndcg@20": 0.9912,
             "gd_ndcg@20": 0.9908, "err@20": 0.3596},
+    # RSJ feedback reaches the context-only docs like RM3 (recall 1.0)
+    # but weights them differently — a fourth distinct ranking
+    "bm25prf": {"mrr@10": 1.0, "map": 0.9881, "recall@1000": 1.0,
+                "p@30": 0.4, "ndcg@20": 0.983,
+                "gd_ndcg@20": 0.9764, "err@20": 0.3559},
 }
 # k1=1.2 moves bm25 to map 0.8111 / ndcg@20 0.9279 — the perturbation
 # gate test below asserts the pin trips.
@@ -133,11 +138,16 @@ def _run_for(sim, index, topics, k1=0.9, b=0.4):
         return search_kernel(index, topics, params)
     if sim == "qld":
         return search_qld(index, topics, mu=1000.0, k=1000)
+    if sim == "bm25prf":
+        from anserini_spark.search.bm25prf import search_bm25prf
+
+        hits, _ = search_bm25prf(index, topics, params)
+        return hits
     hits, _ = search_rm3(index, topics, params)
     return hits
 
 
-@pytest.mark.parametrize("sim", ["bm25", "qld", "rm3"])
+@pytest.mark.parametrize("sim", ["bm25", "qld", "rm3", "bm25prf"])
 def test_discriminative_pinned_metrics(spark, disc, sim):
     from anserini_spark.eval.metrics import evaluate
 
@@ -153,11 +163,35 @@ def test_discriminative_pinned_metrics(spark, disc, sim):
 def test_similarities_disagree():
     """The fixture is discriminative: each pair of similarities differs
     on at least one pinned metric (the thing regressions catch)."""
-    assert PINNED["bm25"] != PINNED["qld"]
-    assert PINNED["bm25"] != PINNED["rm3"]
-    assert PINNED["qld"] != PINNED["rm3"]
-    # and RM3's feedback reaches docs BM25 cannot (context-only docs)
+    names = list(PINNED)
+    for i, a in enumerate(names):
+        for bname in names[i + 1:]:
+            assert PINNED[a] != PINNED[bname], (a, bname)
+    # and feedback expansion reaches docs BM25 cannot (context-only)
     assert PINNED["rm3"]["recall@1000"] > PINNED["bm25"]["recall@1000"]
+    assert PINNED["bm25prf"]["recall@1000"] > PINNED["bm25"]["recall@1000"]
+
+
+def test_axiom_digit_vocab_identity_fallback(spark, disc):
+    """The axiomatic reranker's pool-term noise filter keeps only
+    ^[a-z]{2,}$ (`AxiomReranker.extractTerms:353-398`); this fixture's
+    topic terms carry digits (alpha1...), so every query term is
+    filtered from the pool lists, no term scores survive, and the
+    engine must fall back to the ORIGINAL query — rank-identical to
+    plain BM25, not empty and not reweighted."""
+    from anserini_spark.search.axiom import search_axiom
+    from anserini_spark.search.bm25 import BM25Params
+    from anserini_spark.search.searcher import search_kernel
+
+    index, topics, qrels_df, _ = disc
+    sub = {q: topics[q] for q in list(topics)[:3]}
+    p = BM25Params(k1=0.9, b=0.4, k=50)
+    hits, boosts = search_axiom(index, sub, p)
+    assert boosts == {}
+    base = [(r["qid"], r["docid"], r["rank"])
+            for r in search_kernel(index, sub, p).collect()]
+    got = [(r["qid"], r["docid"], r["rank"]) for r in hits.collect()]
+    assert sorted(got) == sorted(base)
 
 
 def test_k1_perturbation_trips_gate(spark, disc):
