@@ -416,9 +416,18 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
-def build_index(spark: SparkSession, corpus: DataFrame, cfg: IndexConfig) -> dict:
+def build_index(spark: SparkSession, corpus: DataFrame, cfg: IndexConfig,
+                pre_analyzed: bool = False) -> dict:
     """Run the full build; returns the manifest dict. Resumable: stages
-    with an existing manifest entry + output dir are skipped."""
+    with an existing manifest entry + output dir are skipped.
+
+    With ``pre_analyzed`` the corpus is already tokenized docvec-shaped
+    rows (url, doclen, terms, tfs[, positions, contents]) — e.g. the
+    output of `streaming/ingest.stream_tokenize` — and stage 1 skips
+    the extraction/analysis kernel but keeps the dedup, partitioning,
+    and JVM-side id assignment. The caller owns analyzer consistency:
+    pass the same ``cfg.analyzer`` the rows were tokenized with, since
+    the manifest lineage (gated at `InvertedIndex` load) records it."""
     os.makedirs(cfg.out_dir, exist_ok=True)
     man = _Manifest(cfg.out_dir)
     docvec_path = os.path.join(cfg.out_dir, "docvec.parquet")
@@ -430,11 +439,22 @@ def build_index(spark: SparkSession, corpus: DataFrame, cfg: IndexConfig) -> dic
     if not man.done("docvec"):
         t0 = time.time()
         src = cfg.source_col
-        df = corpus.select("url", src, "lang")
-        if cfg.lang is not None:
-            df = df.filter(F.col("lang") == cfg.lang)
-        if src == "text":
-            df = df.filter(F.length(F.trim(F.col("text"))) > 0)
+        other_cols = ["doclen", "terms", "tfs"]
+        if cfg.store_positions:
+            other_cols.append("positions")
+        if cfg.store_contents:
+            other_cols.append("contents")
+        if pre_analyzed:
+            # already-tokenized rows: lang/empty-text filtering happened
+            # at tokenize time; keep the empty-doc invariant on doclen
+            df = corpus.select("url", *other_cols).filter(
+                F.col("doclen") > 0)
+        else:
+            df = corpus.select("url", src, "lang")
+            if cfg.lang is not None:
+                df = df.filter(F.col("lang") == cfg.lang)
+            if src == "text":
+                df = df.filter(F.length(F.trim(F.col("text"))) > 0)
         if cfg.whitelist is not None:
             # docid whitelist (`IndexCollection.java:208-211,707-712`):
             # broadcast semi-join against the allowed-url set
@@ -460,17 +480,13 @@ def build_index(spark: SparkSession, corpus: DataFrame, cfg: IndexConfig) -> dic
         # docvec's (segment, row) id layout — computed after the
         # within-partition url sort. The analyzed arrays never take a
         # second JVM->python round trip (was ~20% of the stage wall).
-        other_cols = ["doclen", "terms", "tfs"]
-        if cfg.store_positions:
-            other_cols.append("positions")
-        if cfg.store_contents:
-            other_cols.append("contents")
+        if not pre_analyzed:
+            df = df.select("url", src).mapInPandas(
+                _analyze_kernel(cfg),
+                schema=analyzed_schema(cfg.store_positions,
+                                       cfg.store_contents))
         df = (
-            df.select("url", src)
-            .mapInPandas(_analyze_kernel(cfg),
-                         schema=analyzed_schema(cfg.store_positions,
-                                                cfg.store_contents))
-            .repartition(cfg.doc_partitions, "url")
+            df.repartition(cfg.doc_partitions, "url")
             .groupBy("url")
             .agg(*[F.first(c).alias(c) for c in other_cols])
             .sortWithinPartitions("url")

@@ -1,0 +1,102 @@
+"""Incremental index maintenance — the streaming bridge.
+
+The reference is strictly batch: new documents mean a full
+``IndexCollection`` rerun (`index/IndexCollection.java`). Here the
+Structured Streaming ingest (`streaming/ingest.py`) accumulates
+tokenized docvec-shaped rows with exactly-once file-source semantics,
+and this module folds them into searchable index increments:
+
+* ``fold_stream_slice`` — turn the accumulated stream output into a
+  complete index slice (ids, posting blocks, dictionary, stats) via
+  ``build_index(pre_analyzed=True)``; within the slice, recrawls of
+  the same url resolve latest-crawl-wins deterministically.
+* ``extend_index`` — merge the slice into an existing base index with
+  ``merge_indexes`` (segment ids densely re-namespaced, postings
+  rebuilt by range-partitioned sort, dictionary/stats recomputed
+  exactly), after a disjointness guard: a url present in BOTH base
+  and slice would need per-segment tombstones to supersede (Lucene's
+  ``updateDocument`` deletes-then-adds), which this engine does not
+  implement — it refuses loudly instead of silently duplicating.
+
+Scale shape: the fold touches ONLY the new rows (one url-hash shuffle
++ the block encode, like any slice build); the merge never re-analyzes
+the base corpus — it re-sorts postings (range-partitioned, never a
+full posting list in memory) and re-aggregates the dictionary. Search
+results over the extended index are exactly those of a from-scratch
+batch build over the union corpus (scores depend only on the global
+stats the merge recomputes; cross-segment ordering is by url
+tie-break) — pinned by ``tests/test_incremental.py``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .build import IndexConfig, build_index
+from .merge import merge_indexes
+
+
+def fold_stream_slice(spark: SparkSession, stream_dir: str,
+                      cfg: IndexConfig) -> dict:
+    """Build a full index slice at ``cfg.out_dir`` from the streamed
+    docvec rows under ``stream_dir`` (schema: url, warc_ts, doclen,
+    terms, tfs — `streaming/ingest.STREAM_DOCVEC_SCHEMA`).
+
+    Duplicate urls inside the stream window (recrawls) resolve
+    deterministically latest-wins: max over the (warc_ts, doclen,
+    terms, tfs) struct — Spark orders structs field-by-field and
+    arrays lexicographically, so ties beyond the timestamp are still
+    total. ``cfg.analyzer`` must be the analyzer the stream was
+    tokenized with (the manifest lineage is load-gated)."""
+    rows = spark.read.parquet(stream_dir)
+    latest = (
+        rows.groupBy("url")
+        .agg(F.max(F.struct("warc_ts", "doclen", "terms", "tfs"))
+             .alias("s"))
+        .select("url", "s.doclen", "s.terms", "s.tfs")
+    )
+    return build_index(spark, latest, cfg, pre_analyzed=True)
+
+
+def extend_index(spark: SparkSession, base_dir: str, stream_dir: str,
+                 out_dir: str, cfg: IndexConfig) -> dict:
+    """Fold ``stream_dir`` into a slice and merge it with ``base_dir``
+    into ``out_dir``. Returns the merged manifest.
+
+    Refuses url overlap between base and slice (see module docstring);
+    route recrawl batches to a rebuild cycle instead."""
+    slice_dir = os.path.join(out_dir + ".slice")
+    slice_cfg = IndexConfig(
+        out_dir=slice_dir, analyzer=cfg.analyzer, lang=cfg.lang,
+        doc_partitions=cfg.doc_partitions,
+        block_partitions=cfg.block_partitions,
+        store_positions=cfg.store_positions,
+        store_contents=cfg.store_contents,
+    )
+    fold_stream_slice(spark, stream_dir, slice_cfg)
+
+    base_urls = spark.read.parquet(
+        os.path.join(base_dir, "docvec.parquet")).select("url")
+    slice_urls = spark.read.parquet(
+        os.path.join(slice_dir, "docvec.parquet")).select("url")
+    # left-semi keeps the probe one-sided; isEmpty stops at first hit
+    overlap = slice_urls.join(base_urls, "url", "left_semi")
+    if not overlap.isEmpty():
+        sample = [r["url"] for r in overlap.take(3)]
+        raise ValueError(
+            "extend_index: stream slice re-crawls urls already in the "
+            f"base index (e.g. {sample}); superseding needs per-segment "
+            "tombstones, which this engine does not implement — rebuild "
+            "the base or drop the recrawled urls from the stream window")
+
+    merge_cfg = IndexConfig(
+        out_dir=out_dir, analyzer=cfg.analyzer, lang=cfg.lang,
+        doc_partitions=cfg.doc_partitions,
+        block_partitions=cfg.block_partitions,
+        store_positions=cfg.store_positions,
+        store_contents=cfg.store_contents,
+    )
+    return merge_indexes(spark, [base_dir, slice_dir], merge_cfg)
