@@ -729,10 +729,17 @@ class SimpleSearcher:
     """Programmatic API mirroring the reference's Python bridge
     (`search/SimpleSearcher.java:80-478`; `SearchMsmarco.java:84-175`)."""
 
-    def __init__(self, spark: SparkSession, index_dir: str,
+    def __init__(self, spark: SparkSession, index_dir,
                  k1: float = 0.9, b: float = 0.4, engine: str = "kernel",
                  lossy: bool = False):
-        self.index = InvertedIndex(spark, index_dir)
+        if isinstance(index_dir, (list, tuple)):
+            # incremental slices, searched unmerged (Lucene's
+            # multi-segment reader) — see search/multislice.py
+            from .multislice import MultiSliceIndex
+
+            self.index = MultiSliceIndex(spark, list(index_dir))
+        else:
+            self.index = InvertedIndex(spark, index_dir)
         # lossy=True is the reference's default-BM25 parity mode
         # (SmallFloat byte4 doclen quantization); False == -bm25accurate
         self.params = BM25Params(k1=k1, b=b, lossy=lossy)
