@@ -41,15 +41,24 @@ MU = 1000.0
 
 
 def _gate_index(spark: SparkSession, sf_dir: str,
-                positions: bool = False, bigram: bool = False) -> str:
+                positions: bool = False, bigram: bool = False,
+                slice_part: str | None = None) -> str:
     """Build (or reuse — fingerprint-keyed dir + resumable manifest)
     a ws-analyzer block index over the sf documents table. With
     ``bigram`` the indexed text is the document's adjacent word pairs
     concatenated (``spark join col`` -> ``sparkjoin joincol``) — the
     axiom gate needs mid-frequency terms (df ~5-10%) the 31-word
     synthetic unigram vocabulary cannot provide, and the derivation
-    is deterministic in both Spark and DuckDB."""
+    is deterministic in both Spark and DuckDB. ``slice_part`` ("a" /
+    "b") builds over the interleaved doc_id%5 split for the
+    multislice gate."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if slice_part == "a":
+        docs = docs.filter(F.col("doc_id") % 5 != 0)
+    elif slice_part == "b":
+        docs = docs.filter(F.col("doc_id") % 5 == 0)
+    elif slice_part is not None:
+        raise ValueError(f"slice_part must be 'a'/'b'/None: {slice_part}")
     fp = docs.agg(
         F.count("*").alias("n"),
         F.max("doc_id").alias("m"),
@@ -63,7 +72,8 @@ def _gate_index(spark: SparkSession, sf_dir: str,
     tag = (f"{os.path.basename(os.path.normpath(sf_dir))}"
            f"_{fp['n']}_{fp['m']}_{(fp['h'] or 0) & 0xFFFFFFFFFFFF:x}"
            f"_s{SEG_SHIFT}{'_pos' if positions else ''}"
-           f"{'_big' if bigram else ''}")
+           f"{'_big' if bigram else ''}"
+           f"{f'_sl{slice_part}' if slice_part else ''}")
     out_dir = f"/tmp/anserini_gate_idx_{tag}"
     if bigram:
         ftoks = "filter(split(text, ' '), x -> x != '')"
@@ -114,6 +124,32 @@ def bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     MaxScore kernel; (qid, doc_id, rank, score) with tie-adjusted
     4-decimal scores."""
     return _index_topk(spark, sf_dir, "bm25", k1=K1, b=B)
+
+
+def multislice_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-query BM25 top-10 answered through the UNION of two
+    independently-built index slices (`search/multislice.py`
+    MultiSliceIndex over the interleaved doc_id%5 split) — the
+    incremental-index read path. The DuckDB oracle is the plain
+    full-corpus BM25 recompute: the gate passes only if per-term
+    df/cf and collection stats sum exactly across slices, scan-time
+    id re-namespacing decodes every posting correctly, and the
+    (score desc, url asc) tie-break is slice-invariant. Mirrors
+    Lucene's multi-segment search contract the reference relies on
+    (`IndexCollection.java` forceMerge is an optimization, not a
+    correctness requirement)."""
+    from ..search.multislice import MultiSliceIndex
+
+    dirs = [_gate_index(spark, sf_dir, slice_part=p) for p in ("a", "b")]
+    idx = MultiSliceIndex(spark, dirs)
+    hits = search_kernel_similarity(idx, _fixed_queries(), "bm25", k=TOPK,
+                                    k1=K1, b=B)
+    return hits.select(
+        "qid",
+        F.col("docid").cast("long").alias("doc_id"),
+        "rank",
+        "score",
+    ).orderBy("qid", "rank")
 
 
 def qld_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1199,6 +1235,9 @@ def oracle_sqls() -> dict[str, str]:
     # engine applies (round 4, perturb duplicate runs by 1e-6*i)
     return {
         "bm25_index_topk": _with_tie_adjust(_bm25_oracle(K1, B)),
+        # same full-corpus oracle: union-of-slices must be
+        # indistinguishable from a from-scratch build
+        "multislice_bm25_topk": _with_tie_adjust(_bm25_oracle(K1, B)),
         "qld_index_topk": _with_tie_adjust(_qld_oracle(MU)),
         "qljm_index_topk": _with_tie_adjust(_qljm_oracle(QLJM_LAMBDA)),
         "inl2_index_topk": _with_tie_adjust(_inl2_oracle(INL2_C)),

@@ -99,3 +99,16 @@ def test_term_pushdown_survives_union(spark, sliced):
         F.col("term").isin(["spark", "join"])
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("PushedFilters: [In(term") >= len(dirs), plan
+
+
+def test_multislice_gate_matches_single_index_gate(spark):
+    """The driver-gate entry (ops/index_queries.multislice_bm25_topk,
+    interleaved doc_id%5 split) must be row-identical to the
+    single-index gate — both are externally oracled against the same
+    full-corpus BM25 SQL."""
+    from anserini_spark.ops import index_queries as iq
+
+    sf = "/root/testdata/sf0.001"
+    union_rows = iq.multislice_bm25_topk(spark, sf).collect()
+    single_rows = iq.bm25_index_topk(spark, sf).collect()
+    assert union_rows == single_rows
