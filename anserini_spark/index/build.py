@@ -416,6 +416,30 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
+def _partition_bytes(path: str, inline_limit: int = 4096) -> dict:
+    """Per-partition output accounting for the manifest (north_rule:
+    "bytes written per partition"): one entry per part-file, keyed by
+    the partition filename. Above ``inline_limit`` partitions the full
+    map would bloat the manifest, so it degrades to the summary
+    (count/min/max/sum still exact) — skew is still visible."""
+    sizes = {
+        fn: os.path.getsize(os.path.join(root, fn))
+        for root, _, files in os.walk(path)
+        for fn in files
+        if fn.startswith("part-")
+    }
+    vals = sorted(sizes.values())
+    out = {
+        "partitions": len(vals),
+        "min_bytes": vals[0] if vals else 0,
+        "max_bytes": vals[-1] if vals else 0,
+        "sum_bytes": sum(vals),
+    }
+    if len(sizes) <= inline_limit:
+        out["per_partition"] = dict(sorted(sizes.items()))
+    return out
+
+
 def build_index(spark: SparkSession, corpus: DataFrame, cfg: IndexConfig,
                 pre_analyzed: bool = False) -> dict:
     """Run the full build; returns the manifest dict. Resumable: stages
@@ -506,6 +530,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, cfg: IndexConfig,
             docs=n_docs,
             docs_per_sec=round(n_docs / max(wall, 1e-9), 1),
             bytes=_dir_bytes(docvec_path),
+            partition_bytes=_partition_bytes(docvec_path),
             seg_shift=SEG_SHIFT,
             lineage={"stage": "docvec", "analyzer": cfg.analyzer,
                      # content-derived token-stream version (lexicon
@@ -560,6 +585,7 @@ def build_index(spark: SparkSession, corpus: DataFrame, cfg: IndexConfig,
             postings=int(m["postings"] or 0),
             postings_per_sec=round(int(m["postings"] or 0) / max(wall, 1e-9), 1),
             bytes=_dir_bytes(blocks_path),
+            partition_bytes=_partition_bytes(blocks_path),
             lineage={"stage": "blocks", "from": "docvec",
                      "partitions": cfg.block_partitions,
                      "block_size": cfg.block_size},
@@ -582,7 +608,8 @@ def build_index(spark: SparkSession, corpus: DataFrame, cfg: IndexConfig,
             .parquet(dict_path)
         )
         man.record("dictionary", wall_s=round(time.time() - t0, 3),
-                   terms=int(obs.get["terms"]), bytes=_dir_bytes(dict_path))
+                   terms=int(obs.get["terms"]), bytes=_dir_bytes(dict_path),
+                   partition_bytes=_partition_bytes(dict_path))
 
     if not man.done("stats"):
         t0 = time.time()

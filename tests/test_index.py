@@ -111,6 +111,23 @@ def test_resumable_build_skips_done_stages(spark, tiny_index):
     }
 
 
+def test_manifest_records_per_partition_bytes(tiny_index):
+    """north_rule lineage contract: each write stage accounts bytes
+    written PER PARTITION (skew is visible in the manifest), and the
+    per-file map sums to the stage total."""
+    with open(os.path.join(tiny_index, "manifest.json")) as f:
+        man = json.load(f)
+    for stage in ("docvec", "blocks", "dictionary"):
+        pb = man[stage]["partition_bytes"]
+        assert pb["partitions"] >= 1
+        per = pb["per_partition"]
+        assert len(per) == pb["partitions"]
+        assert sum(per.values()) == pb["sum_bytes"]
+        assert min(per.values()) == pb["min_bytes"]
+        assert max(per.values()) == pb["max_bytes"]
+        assert all(k.startswith("part-") for k in per)
+
+
 def test_bm25_index_topk_matches_corpus_recompute(spark):
     """The driver-gate block-index query (real blocks.parquet +
     MaxScore, float64 BM25) must rank identically to the
