@@ -39,6 +39,13 @@ def main() -> None:
     ap.add_argument("--from-html", action="store_true",
                     help="index from the html column (runs the HTML->text "
                          "extraction kernel) instead of pre-extracted text")
+    ap.add_argument("--slices", type=int, default=0,
+                    help="build N disjoint url-hash slices under --out "
+                         "instead of one monolithic index: a killed job "
+                         "resumes skipping completed slices entirely "
+                         "(per-partition checkpointing); search the "
+                         "result unmerged via MultiSliceIndex or compact "
+                         "with merge_indexes")
     ap.add_argument("--warmup", action="store_true",
                     help="run a tiny throwaway build first so the timed "
                          "stages measure steady state: a fresh local JVM "
@@ -108,6 +115,14 @@ def main() -> None:
         wcfg = replace(cfg, out_dir=wdir)
         build_index(spark, corpus.limit(2000), wcfg)
         shutil.rmtree(wdir, ignore_errors=True)
+    if args.slices:
+        from anserini_spark.index.sliced import build_sliced_index
+
+        dirs = build_sliced_index(spark, corpus, cfg, args.slices)
+        json.dump({"slices": dirs}, sys.stdout, indent=2)
+        print()
+        spark.stop()
+        return
     if args.steady > 1:
         import os
         import shutil
