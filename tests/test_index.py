@@ -241,3 +241,30 @@ def test_analysis_version_impact_chain_independent():
     # the chain-backed analyzers DO embed chain/lexicon hashes
     assert analysis_version("porter").startswith("tok1.stop")
     assert ".kstem" in analysis_version("krovetz")
+
+
+def test_head_term_blocks_split_across_files(spark, tmp_path):
+    """north_rule skew contract: a Zipf head term present in EVERY doc
+    must not serialize into one task/file — its posting blocks land in
+    multiple output partitions (keyed by (term, doc-range bucket) via
+    segments + RANGE_SHIFT), so no single reducer owns a head term."""
+    from pyspark.sql import functions as F
+
+    from anserini_spark.corpus.synth import web_corpus
+    from anserini_spark.index.build import IndexConfig, build_index
+
+    corpus = web_corpus(spark, "/root/testdata/sf0.001").withColumn(
+        "text", F.concat(F.lit("headterm "), F.col("text"))
+    )
+    out = str(tmp_path / "skew_idx")
+    build_index(spark, corpus, IndexConfig(out_dir=out, analyzer="ws",
+                                           doc_partitions=4,
+                                           block_partitions=8))
+    files = (
+        spark.read.parquet(out + "/blocks.parquet")
+        .filter(F.col("term") == "headterm")
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+    assert files >= 2, f"head term serialized into {files} file(s)"
