@@ -1,0 +1,105 @@
+"""Tiered slice compaction — Lucene's ``TieredMergePolicy``,
+re-expressed over index-slice dirs.
+
+Incremental corpora accumulate slices (stream folds, sliced builds);
+each slice adds small per-term parquet files to every query's scan,
+so unbounded slice counts erode query latency. Lucene bounds this by
+merging similarly-sized segments when a tier overflows
+(``TieredMergePolicy``: smallest segments merge first, never a giant
+with a grain — merging is O(inputs), so re-merging a huge segment to
+absorb a tiny one wastes the cluster). Same shape here:
+
+* ``plan_compaction(sizes, max_slices, merge_factor)`` — pure policy:
+  while more than ``max_slices`` slices exist, group the
+  ``merge_factor`` SMALLEST into one merge. Deterministic, no I/O —
+  unit-testable and inspectable before executing.
+* ``compact(spark, slice_dirs, cfg, ...)`` — execute the plan with
+  `merge.merge_indexes` (range-partitioned posting re-sort; never a
+  full posting list in memory) and return the new slice-dir list,
+  searchable via `search/multislice.MultiSliceIndex` at every step.
+
+Scale shape: each merge touches only its input slices (O(sum of
+inputs), not O(corpus)); the policy keeps merges between peers of a
+size tier, so total merge work over an index's lifetime is
+O(N log N) postings — Lucene's amortized bound.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+from pyspark.sql import SparkSession
+
+from .build import IndexConfig
+from .merge import merge_indexes
+
+
+def plan_compaction(sizes: list[int], max_slices: int = 8,
+                    merge_factor: int = 4) -> list[list[int]]:
+    """Return groups of slice INDICES to merge (into one output each)
+    so the final slice count is <= ``max_slices``. Smallest-first:
+    each group takes the ``merge_factor`` smallest live slices (the
+    merged result re-enters the pool at its combined size, like
+    Lucene's tiering). Empty list = already compact."""
+    if max_slices < 1:
+        raise ValueError(f"max_slices must be >= 1: {max_slices}")
+    if merge_factor < 2:
+        raise ValueError(f"merge_factor must be >= 2: {merge_factor}")
+    # pool of (size, original-indices-it-covers); merged results carry
+    # their member lists so the plan refers only to ORIGINAL indices
+    pool: list[tuple[int, list[int]]] = sorted(
+        ((s, [i]) for i, s in enumerate(sizes)), key=lambda t: t[0]
+    )
+    plan: list[list[int]] = []
+    while len(pool) > max_slices:
+        take = min(merge_factor, len(pool) - max_slices + 1)
+        group = pool[:take]
+        pool = pool[take:]
+        members = [i for _, ms in group for i in ms]
+        merged = (sum(s for s, _ in group), members)
+        plan.append(sorted(members))
+        # re-insert at size order (merged peers can merge again)
+        lo = 0
+        while lo < len(pool) and pool[lo][0] < merged[0]:
+            lo += 1
+        pool.insert(lo, merged)
+    return plan
+
+
+def compact(spark: SparkSession, slice_dirs: list[str], cfg: IndexConfig,
+            max_slices: int = 8, merge_factor: int = 4) -> list[str]:
+    """Compact ``slice_dirs`` down to <= ``max_slices`` dirs. Merged
+    outputs are written under ``cfg.out_dir/compact=K``; inputs are
+    left on disk (caller owns deletion — a reader may still hold
+    them). Returns the new slice-dir list (merge outputs + untouched
+    survivors), stable-ordered by original position so repeated
+    compactions are deterministic."""
+    sizes = []
+    for d in slice_dirs:
+        with open(os.path.join(d, "stats.json")) as f:
+            sizes.append(int(json.load(f)["num_docs"]))
+    plan = plan_compaction(sizes, max_slices, merge_factor)
+    if not plan:
+        return list(slice_dirs)
+    # current[i] = the dir currently holding original slice i's docs
+    # (a later plan step can merge an earlier step's output — its
+    # group then lists that output's member indices)
+    current = dict(enumerate(slice_dirs))
+    for k, group in enumerate(plan):
+        inputs = sorted({current[i] for i in group},
+                        key=lambda d: min(i for i in group
+                                          if current[i] == d))
+        od = os.path.join(cfg.out_dir, f"compact={k:05d}")
+        merge_indexes(spark, inputs, dataclasses.replace(cfg, out_dir=od))
+        for i in group:
+            current[i] = od
+    seen: set[str] = set()
+    out: list[str] = []
+    for i in range(len(slice_dirs)):
+        d = current[i]
+        if d not in seen:
+            seen.add(d)
+            out.append(d)
+    return out
