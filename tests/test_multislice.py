@@ -112,3 +112,30 @@ def test_multislice_gate_matches_single_index_gate(spark):
     union_rows = iq.multislice_bm25_topk(spark, sf).collect()
     single_rows = iq.bm25_index_topk(spark, sf).collect()
     assert union_rows == single_rows
+
+
+def test_union_matches_batch_sdm_positional(spark, tmp_path):
+    """SDM needs positional blocks; the union reader's scan-time id
+    re-namespacing must leave within-doc position decoding intact —
+    window counts, pair dfs, and final scores identical to a
+    monolithic positional build."""
+    from anserini_spark.corpus.synth import web_corpus
+    from anserini_spark.search.sdm import search_sdm
+
+    full = web_corpus(spark, "/root/testdata/sf0.001")
+    cfg = lambda d: IndexConfig(out_dir=str(tmp_path / d),
+                                doc_partitions=2, block_partitions=3,
+                                store_positions=True)
+    build_index(spark, full, cfg("batch"))
+    dirs = []
+    for i in range(2):
+        build_index(spark, full.filter(F.crc32("url") % 2 == i),
+                    cfg(f"s{i}"))
+        dirs.append(str(tmp_path / f"s{i}"))
+    q = {1: "spark merge join", 2: "customer value"}
+    rows = lambda idx: [
+        (r["qid"], r["docid"], r["rank"], round(float(r["score"]), 6))
+        for r in search_sdm(idx, q, BM25Params(k=20)).collect()
+    ]
+    assert rows(MultiSliceIndex(spark, dirs)) == \
+        rows(InvertedIndex(spark, str(tmp_path / "batch")))
