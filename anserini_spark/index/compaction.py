@@ -29,10 +29,11 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+from functools import reduce
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
-from .build import IndexConfig
+from .build import IndexConfig, build_index
 from .merge import merge_indexes
 
 
@@ -68,8 +69,61 @@ def plan_compaction(sizes: list[int], max_slices: int = 8,
     return plan
 
 
+def coalescing_merge(spark: SparkSession, slice_dirs: list[str],
+                     cfg: IndexConfig) -> dict:
+    """Merge slices by REBUILDING from their docvecs (pre-analyzed
+    rows; no re-extraction/re-analysis): ids are reassigned into
+    ``cfg.doc_partitions`` fresh segments, so the output's query cost
+    equals a monolithic build's. `merge.merge_indexes` preserves each
+    input's segments (cheaper bookkeeping, resumable per stage) but
+    the segment COUNT then grows with every generation of merging —
+    measured: 16 slices compacted segment-preserving answered a
+    50-query batch 1.9× slower than 4 fresh slices because the
+    per-segment kernel invocations never shrank
+    (`scripts/slice_latency_bench.py`). Lucene's merge coalesces
+    segments for the same reason. Both merges re-encode every posting
+    block, so the cost profile is the same shuffle + encode."""
+    from ..analysis.analyzer import analysis_version
+
+    dvs: list[DataFrame] = []
+    lineages = []
+    for d in slice_dirs:
+        with open(os.path.join(d, "manifest.json")) as f:
+            lineages.append(json.load(f)["docvec"]["lineage"])
+        dvs.append(spark.read.parquet(os.path.join(d, "docvec.parquet")))
+    analyzers = {ln["analyzer"] for ln in lineages}
+    if len(analyzers) > 1:
+        raise ValueError(f"mixed-analyzer merge: {sorted(analyzers)}")
+    analyzer = analyzers.pop()
+    cur_av = analysis_version(analyzer)
+    stale = [d for d, ln in zip(slice_dirs, lineages)
+             if ln.get("analysis_version") != cur_av]
+    if stale:
+        raise ValueError(
+            f"slices {stale} carry analyzer version != {cur_av}; a "
+            "rebuild-merge would stamp the current version over stale "
+            "token streams — rebuild those slices first")
+    has_pos = {"positions" in dv.columns for dv in dvs}
+    has_contents = {"contents" in dv.columns for dv in dvs}
+    if len(has_pos) > 1:
+        raise ValueError("cannot merge a mix of positional and "
+                         "non-positional slices")
+    cols = ["url", "doclen", "terms", "tfs"]
+    if has_pos.pop():
+        cols.append("positions")
+    store_contents = len(has_contents) == 1 and has_contents.pop()
+    if store_contents:
+        cols.append("contents")
+    union = reduce(DataFrame.unionByName, [dv.select(*cols) for dv in dvs])
+    cfg = dataclasses.replace(
+        cfg, analyzer=analyzer, store_positions="positions" in cols,
+        store_contents=store_contents)
+    return build_index(spark, union, cfg, pre_analyzed=True)
+
+
 def compact(spark: SparkSession, slice_dirs: list[str], cfg: IndexConfig,
-            max_slices: int = 8, merge_factor: int = 4) -> list[str]:
+            max_slices: int = 8, merge_factor: int = 4,
+            coalesce: bool = True) -> list[str]:
     """Compact ``slice_dirs`` down to <= ``max_slices`` dirs. Merged
     outputs are written under ``cfg.out_dir/compact=K``; inputs are
     left on disk (caller owns deletion — a reader may still hold
@@ -92,7 +146,8 @@ def compact(spark: SparkSession, slice_dirs: list[str], cfg: IndexConfig,
                         key=lambda d: min(i for i in group
                                           if current[i] == d))
         od = os.path.join(cfg.out_dir, f"compact={k:05d}")
-        merge_indexes(spark, inputs, dataclasses.replace(cfg, out_dir=od))
+        merge = coalescing_merge if coalesce else merge_indexes
+        merge(spark, inputs, dataclasses.replace(cfg, out_dir=od))
         for i in group:
             current[i] = od
     seen: set[str] = set()

@@ -88,3 +88,22 @@ def test_compact_preserves_search_exactly(spark, five_slices):
     # idempotent once compact
     assert compact(spark, out, IndexConfig(out_dir=root + "/c2"),
                    max_slices=2, merge_factor=3) == out
+
+
+def test_coalescing_merge_bounds_segment_count(spark, five_slices):
+    """Segment-preserving merge accumulates segments forever (16
+    slices compacted still answer with all original segments);
+    coalescing merge must restore cfg.doc_partitions fresh segments —
+    the monolithic query shape."""
+    import json as _json
+
+    root, dirs, mono = five_slices
+    out = compact(spark, dirs, IndexConfig(out_dir=root + "/c3",
+                                           doc_partitions=3),
+                  max_slices=1, merge_factor=5, coalesce=True)
+    assert len(out) == 1
+    with open(out[0] + "/stats.json") as f:
+        segs = _json.load(f)["segments"]
+    assert len(segs) <= 3
+    assert _hits(MultiSliceIndex(spark, out)) == \
+        _hits(InvertedIndex(spark, mono))
