@@ -32,6 +32,7 @@ import os
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .build import IndexConfig, build_index
 from .merge import merge_indexes
@@ -85,12 +86,18 @@ def coalescing_merge(spark: SparkSession, slice_dirs: list[str],
     block, so the cost profile is the same shuffle + encode."""
     from ..analysis.analyzer import analysis_version
 
+    from .tombstones import read_tombstones
+
     dvs: list[DataFrame] = []
     lineages = []
     for d in slice_dirs:
         with open(os.path.join(d, "manifest.json")) as f:
             lineages.append(json.load(f)["docvec"]["lineage"])
-        dvs.append(spark.read.parquet(os.path.join(d, "docvec.parquet")))
+        dv = spark.read.parquet(os.path.join(d, "docvec.parquet"))
+        dead = read_tombstones(spark, d)  # purge deletes while rebuilding
+        if dead is not None:
+            dv = dv.join(F.broadcast(dead), "url", "left_anti")
+        dvs.append(dv)
     analyzers = {ln["analyzer"] for ln in lineages}
     if len(analyzers) > 1:
         raise ValueError(f"mixed-analyzer merge: {sorted(analyzers)}")

@@ -62,12 +62,17 @@ def fold_stream_slice(spark: SparkSession, stream_dir: str,
 
 
 def extend_index(spark: SparkSession, base_dir: str, stream_dir: str,
-                 out_dir: str, cfg: IndexConfig) -> dict:
+                 out_dir: str, cfg: IndexConfig,
+                 supersede: bool = False) -> dict:
     """Fold ``stream_dir`` into a slice and merge it with ``base_dir``
     into ``out_dir``. Returns the merged manifest.
 
-    Refuses url overlap between base and slice (see module docstring);
-    route recrawl batches to a rebuild cycle instead."""
+    Url overlap between base and slice (recrawls): with
+    ``supersede=True`` the base's stale copies are TOMBSTONED
+    (`index/tombstones.py`, Lucene's updateDocument = delete + add)
+    and the merge purges them, so the result is latest-crawl-wins
+    across base+slice. Default still refuses — superseding mutates
+    the base dir (appends tombstones), so it must be opted into."""
     slice_dir = os.path.join(out_dir + ".slice")
     slice_cfg = IndexConfig(
         out_dir=slice_dir, analyzer=cfg.analyzer, lang=cfg.lang,
@@ -85,12 +90,18 @@ def extend_index(spark: SparkSession, base_dir: str, stream_dir: str,
     # left-semi keeps the probe one-sided; isEmpty stops at first hit
     overlap = slice_urls.join(base_urls, "url", "left_semi")
     if not overlap.isEmpty():
-        sample = [r["url"] for r in overlap.take(3)]
-        raise ValueError(
-            "extend_index: stream slice re-crawls urls already in the "
-            f"base index (e.g. {sample}); superseding needs per-segment "
-            "tombstones, which this engine does not implement — rebuild "
-            "the base or drop the recrawled urls from the stream window")
+        if supersede:
+            from .tombstones import add_tombstones
+
+            add_tombstones(spark, base_dir, overlap)
+        else:
+            sample = [r["url"] for r in overlap.take(3)]
+            raise ValueError(
+                "extend_index: stream slice re-crawls urls already in "
+                f"the base index (e.g. {sample}); pass supersede=True "
+                "to tombstone the base's stale copies (latest-crawl-"
+                "wins; the merge purges them), or drop the recrawled "
+                "urls from the stream window")
 
     merge_cfg = IndexConfig(
         out_dir=out_dir, analyzer=cfg.analyzer, lang=cfg.lang,

@@ -69,6 +69,15 @@ def merge_indexes(spark: SparkSession, slice_dirs: list[str], cfg: IndexConfig) 
                     f"slice {d} was built with SEG_SHIFT={slice_shift}, "
                     f"engine uses {SEG_SHIFT}; rebuild the slice")
             dv = spark.read.parquet(os.path.join(d, "docvec.parquet"))
+            # purge tombstoned docs while we are rewriting anyway —
+            # the Lucene contract: deletes are physical only after a
+            # merge (blocks/dictionary/stats below re-derive from the
+            # filtered docvec, so the output is a clean index)
+            from .tombstones import read_tombstones
+
+            dead = read_tombstones(spark, d)
+            if dead is not None:
+                dv = dv.join(F.broadcast(dead), "url", "left_anti")
             has_pos.add("positions" in dv.columns)
             with open(os.path.join(d, "stats.json")) as f:
                 slice_segs = sorted(int(k) for k in
@@ -179,9 +188,15 @@ def merge_indexes(spark: SparkSession, slice_dirs: list[str], cfg: IndexConfig) 
             F.sum("doclen").alias("sum_tf"),
         ).collect()[0]
         uniq = spark.read.parquet(dict_path).count()
+        # capacity semantics (max local id + 1), NOT row count: purging
+        # tombstoned docs leaves row-id gaps inside preserved segments,
+        # and the scoring kernel's dense accumulator must span the gaps
         seg_counts = {
-            int(r["segment"]): int(r["cnt"])
-            for r in docvec.groupBy("segment").agg(F.count("*").alias("cnt")).collect()
+            int(r["segment"]): int(r["cap"])
+            for r in docvec.groupBy("segment").agg(
+                (F.max(F.col("doc_id").bitwiseAND(
+                    F.lit((1 << SEG_SHIFT) - 1))) + 1).alias("cap")
+            ).collect()
         }
         stats = {
             "num_docs": int(s["num_docs"]),
@@ -192,14 +207,21 @@ def merge_indexes(spark: SparkSession, slice_dirs: list[str], cfg: IndexConfig) 
             "unique_terms": int(uniq),
             "segments": seg_counts,
         }
-        # invariant check vs per-slice sums (exact stats recomputation)
+        # invariant check vs per-slice sums (exact stats recomputation);
+        # tombstoned slices legitimately shrink (the merge purges)
+        from .tombstones import has_tombstones as _has_tomb
+
         slice_num_docs = 0
         for d in slice_dirs:
             with open(os.path.join(d, "stats.json")) as f:
                 slice_num_docs += json.load(f)["num_docs"]
-        assert stats["num_docs"] == slice_num_docs, (
-            f"merge lost docs: {stats['num_docs']} != {slice_num_docs}"
-        )
+        if any(_has_tomb(d) for d in slice_dirs):
+            assert stats["num_docs"] <= slice_num_docs, (
+                f"merge GREW: {stats['num_docs']} > {slice_num_docs}")
+        else:
+            assert stats["num_docs"] == slice_num_docs, (
+                f"merge lost docs: {stats['num_docs']} != {slice_num_docs}"
+            )
         with open(stats_path, "w") as f:
             json.dump(stats, f, indent=2)
         man.record("stats", wall_s=round(time.time() - t0, 3),

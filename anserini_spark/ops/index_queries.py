@@ -42,7 +42,8 @@ MU = 1000.0
 
 def _gate_index(spark: SparkSession, sf_dir: str,
                 positions: bool = False, bigram: bool = False,
-                slice_part: str | None = None) -> str:
+                slice_part: str | None = None,
+                variant: str | None = None) -> str:
     """Build (or reuse — fingerprint-keyed dir + resumable manifest)
     a ws-analyzer block index over the sf documents table. With
     ``bigram`` the indexed text is the document's adjacent word pairs
@@ -73,7 +74,8 @@ def _gate_index(spark: SparkSession, sf_dir: str,
            f"_{fp['n']}_{fp['m']}_{(fp['h'] or 0) & 0xFFFFFFFFFFFF:x}"
            f"_s{SEG_SHIFT}{'_pos' if positions else ''}"
            f"{'_big' if bigram else ''}"
-           f"{f'_sl{slice_part}' if slice_part else ''}")
+           f"{f'_sl{slice_part}' if slice_part else ''}"
+           f"{f'_{variant}' if variant else ''}")
     out_dir = f"/tmp/anserini_gate_idx_{tag}"
     if bigram:
         ftoks = "filter(split(text, ' '), x -> x != '')"
@@ -142,6 +144,41 @@ def multislice_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dirs = [_gate_index(spark, sf_dir, slice_part=p) for p in ("a", "b")]
     idx = MultiSliceIndex(spark, dirs)
+    hits = search_kernel_similarity(idx, _fixed_queries(), "bm25", k=TOPK,
+                                    k1=K1, b=B)
+    return hits.select(
+        "qid",
+        F.col("docid").cast("long").alias("doc_id"),
+        "rank",
+        "score",
+    ).orderBy("qid", "rank")
+
+
+TOMB_MOD, TOMB_REM = 7, 3
+
+
+def tombstone_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-query BM25 top-10 over an index with TOMBSTONED docs
+    (doc_id % 7 == 3 deleted via `index/tombstones.py` — Lucene
+    liveDocs): deleted docs must vanish from every ranking while the
+    surviving docs keep the scores of the FULL collection statistics
+    (df/avgdl stay stale until a purging merge — Lucene's
+    deleteDocuments contract). The DuckDB oracle recomputes exactly
+    that: BM25 with stats over ALL docs, ranking restricted to live
+    docs. Own fingerprint-keyed dir (variant tag) so the tombstone
+    append never pollutes the shared gate index."""
+    from ..index.tombstones import add_tombstones, has_tombstones
+
+    d = _gate_index(spark, sf_dir, variant="tomb")
+    if not has_tombstones(d):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        dead = [
+            f"{int(r['doc_id']):020d}"
+            for r in docs.filter(F.col("doc_id") % TOMB_MOD == TOMB_REM)
+            .select("doc_id").collect()
+        ]
+        add_tombstones(spark, d, dead)
+    idx = InvertedIndex(spark, d)
     hits = search_kernel_similarity(idx, _fixed_queries(), "bm25", k=TOPK,
                                     k1=K1, b=B)
     return hits.select(
@@ -527,6 +564,22 @@ FROM (
 )
 WHERE rank <= {TOPK}
 """
+
+
+def _bm25_tombstone_oracle(k1: float, b: float, mod: int, rem: int) -> str:
+    """Full-corpus BM25 stats (dl/dfreq over ALL docs — stale-stats
+    Lucene delete semantics), ranking restricted to live docs."""
+    from .corpus_queries import _bm25_oracle
+
+    base = _bm25_oracle(k1, b)
+    marker = ("SELECT qid, doc_id,\n"
+              "         row_number() OVER (PARTITION BY qid "
+              "ORDER BY score DESC, doc_id) AS rank,\n"
+              "         score\n"
+              "  FROM scored\n")
+    assert marker in base, "bm25 oracle shape changed"
+    return base.replace(
+        marker, marker + f"  WHERE doc_id % {mod} <> {rem}\n", 1)
 
 
 def _with_tie_adjust(base_sql: str) -> str:
@@ -1238,6 +1291,10 @@ def oracle_sqls() -> dict[str, str]:
         # same full-corpus oracle: union-of-slices must be
         # indistinguishable from a from-scratch build
         "multislice_bm25_topk": _with_tie_adjust(_bm25_oracle(K1, B)),
+        # stale-stats Lucene delete semantics: stats over ALL docs,
+        # ranking over live docs only
+        "tombstone_bm25_topk": _with_tie_adjust(
+            _bm25_tombstone_oracle(K1, B, TOMB_MOD, TOMB_REM)),
         "qld_index_topk": _with_tie_adjust(_qld_oracle(MU)),
         "qljm_index_topk": _with_tie_adjust(_qljm_oracle(QLJM_LAMBDA)),
         "inl2_index_topk": _with_tie_adjust(_inl2_oracle(INL2_C)),

@@ -86,7 +86,7 @@ def _select_pool(index: InvertedIndex, first_pass: DataFrame,
         # (the reference reuses one seeded stream per query too)
         extras = [
             row["url"]
-            for row in index.docvec.select("url")
+            for row in index.live_docvec.select("url")
             .orderBy(F.xxhash64(F.col("url"), F.lit(seed)), F.col("url"))
             .limit(target + r).collect()
         ]

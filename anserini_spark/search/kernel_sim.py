@@ -204,7 +204,8 @@ def search_kernel_similarity(
         "term", "segment", "first_doc", "last_doc", "n", "max_tf", "min_dl", "sum_tf", "docs_bin", "tfs_bin", "dls_bin"
     ).filter(F.col("term").isin(sorted(shape_fns)))
     fn = _segment_score_fn(boosts, (0.0, 0.0, False), seg_counts, k, prune,
-                           shape_fns=shape_fns)
+                           shape_fns=shape_fns,
+                           dead_by_seg=index.dead_by_segment or None)
     # 4x partitions vs segments for batches: avoid balls-in-bins
     # straggler tasks (see search_kernel)
     from .searcher import BATCH_REPARTITION_MIN_QUERIES

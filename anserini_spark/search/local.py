@@ -75,6 +75,21 @@ class LocalSearcher:
         self._pre: Optional[pd.DataFrame] = None
         self._pre_terms: Optional[np.ndarray] = None
         self._docmap: Optional[Tuple[np.ndarray, np.ndarray]] = None
+        # liveDocs (tombstones): sorted dead accumulator slots, masked
+        # after full accumulation (this engine never prunes, so the
+        # post-accumulation mask is exact)
+        self._dead_slots = np.empty(0, dtype=np.int64)
+        tomb = os.path.join(index_dir, "tombstones.parquet")
+        if os.path.isdir(tomb):
+            urls = ds.dataset(tomb, format="parquet").to_table(
+                columns=["url"])["url"].to_pylist()
+            if urls:
+                t = self._docvec.to_table(
+                    filter=ds.field("url").isin(sorted(set(urls))),
+                    columns=["doc_id"],
+                )
+                self._dead_slots = np.sort(self._slots(
+                    np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)))
         if preload:
             self._preload()
 
@@ -199,6 +214,12 @@ class LocalSearcher:
             acc[slots] += contrib.astype(np.float64)
             touched.append(slots)
         cand = np.unique(np.concatenate(touched))
+        if len(self._dead_slots):
+            from ..index.tombstones import drop_dead
+
+            keep = drop_dead(cand, self._dead_slots)
+            if keep is not None:
+                cand = cand[keep]
         scores = acc[cand].astype(np.float32)
         if len(cand) > k:
             # keep everything tied at the kth score, then url-order

@@ -138,6 +138,31 @@ class MultiSliceIndex(InvertedIndex):
             self._dfs[name] = df
         return self._dfs[name]
 
+    @property
+    def has_tombstones(self) -> bool:
+        return any(s.has_tombstones for s in self.slices)
+
+    @property
+    def dead_by_segment(self):
+        """Per-slice liveDocs with the union's segment re-namespacing
+        applied (local ids within a segment are offset-invariant)."""
+        out = {}
+        for s, off in zip(self.slices, self.offsets):
+            for seg, arr in s.dead_by_segment.items():
+                out[seg + off] = arr
+        return out
+
+    @property
+    def live_docvec(self):
+        from ..index.tombstones import read_tombstones
+
+        deads = [d for d in (read_tombstones(self.spark, s.dir)
+                             for s in self.slices) if d is not None]
+        if not deads:
+            return self.docvec
+        dead = reduce(DataFrame.unionByName, deads).distinct()
+        return self.docvec.join(F.broadcast(dead), "url", "left_anti")
+
     def term_stats(self, terms: Iterable[str]) -> Dict[str, Tuple[int, int]]:
         """Sum the per-slice driver-side dictionary lookups — the
         union df/cf, identical to a merged dictionary's."""

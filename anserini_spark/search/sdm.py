@@ -63,6 +63,11 @@ def _idf(df_col, n: float):
 
 def search_sdm(index: InvertedIndex, queries: Dict[int, str],
                params: BM25Params, engine: str = "kernel") -> DataFrame:
+    if index.has_tombstones:
+        raise NotImplementedError(
+            "SDM's positional kernels do not consult tombstones "
+            "(liveDocs) yet — compact the index first "
+            "(index/compaction.py) so deletes are purged")
     if engine == "kernel":
         return _search_sdm_kernel(index, queries, params)
     spark = index.spark

@@ -105,6 +105,46 @@ class InvertedIndex:
         self._cache_blocks = cache_blocks
         self._dfs: Dict[str, DataFrame] = {}
         self._dict_ds = None  # lazy pyarrow dataset for term_stats
+        self._dead: Optional[Dict[int, np.ndarray]] = None
+
+    @property
+    def has_tombstones(self) -> bool:
+        from ..index.tombstones import has_tombstones
+
+        return has_tombstones(self.dir)
+
+    @property
+    def live_docvec(self) -> DataFrame:
+        """docvec minus tombstoned docs (broadcast anti-join; the
+        declarative-path liveDocs consult)."""
+        from ..index.tombstones import read_tombstones
+
+        dead = read_tombstones(self.spark, self.dir)
+        if dead is None:
+            return self.docvec
+        return self.docvec.join(F.broadcast(dead), "url", "left_anti")
+
+    @property
+    def dead_by_segment(self) -> Dict[int, np.ndarray]:
+        """Lucene-liveDocs view: segment -> sorted local doc ids of
+        tombstoned docs ({} when none). Computed once (broadcast
+        semi-join against the column-pruned docvec), cached driver-
+        side — O(deletes), rides into the kernel closures."""
+        if self._dead is None:
+            from ..index.tombstones import dead_by_segment
+
+            self._dead = dead_by_segment(self.spark, self.dir,
+                                         self.docvec, SEG_SHIFT)
+        return self._dead
+
+    @property
+    def dead_global(self) -> np.ndarray:
+        """Sorted absolute doc ids of tombstoned docs (may be empty)."""
+        parts = [(s << SEG_SHIFT) | ids
+                 for s, ids in self.dead_by_segment.items()]
+        if not parts:
+            return np.empty(0, dtype=np.int64)
+        return np.sort(np.concatenate(parts))
 
     def _load(self, name: str, do_cache: bool) -> DataFrame:
         if name not in self._dfs:
@@ -338,7 +378,7 @@ def search_dataframe(
     if not rows:
         return index.spark.createDataFrame([], "qid int, docid string, rank int, score double")
     qterms = index.spark.createDataFrame(rows, "qid int, term string, weight float")
-    postings = index.docvec.select(
+    postings = index.live_docvec.select(
         "doc_id",
         "doclen",
         F.explode(F.arrays_zip("terms", "tfs")).alias("e"),
@@ -384,6 +424,7 @@ def _segment_score_fn(
     k: int,
     prune: bool,
     shape_fns: Optional[Dict[str, object]] = None,
+    dead_by_seg: Optional[Dict[int, np.ndarray]] = None,
 ):
     """Per-segment scoring kernel. Default mode is float32 BM25
     (cache1/cache2, optional lossy norms). When ``shape_fns`` is given
@@ -431,6 +472,21 @@ def _segment_score_fn(
         count = seg_counts.get(seg, 0)
         if count == 0:
             return _empty()
+        # liveDocs (tombstones): dead postings drop at DECODE time, so
+        # accumulation and MaxScore thresholds never see them — ranked
+        # results equal an index that never held the docs (stats stay
+        # stale until a purging merge, Lucene-identical)
+        dead = dead_by_seg.get(seg) if dead_by_seg else None
+
+        def _live(ids: np.ndarray, parts: np.ndarray):
+            if dead is None or len(ids) == 0:
+                return ids, parts
+            from ..index.tombstones import drop_dead
+
+            keep = drop_dead(ids, dead)
+            if keep is None:
+                return ids, parts
+            return ids[keep], parts[keep]
         pdf = pdf.sort_values(["term", "first_doc"], kind="mergesort")
         groups = {t: g for t, g in pdf.groupby("term", sort=False)}
 
@@ -452,10 +508,8 @@ def _segment_score_fn(
                     g["n"].to_numpy(), g["first_doc"].to_numpy(),
                     g["last_doc"].to_numpy(),
                 )
-                decoded[t] = (
-                    (docs - base).astype(np.int64),
-                    _part(t, tfs, dls),
-                )
+                decoded[t] = _live((docs - base).astype(np.int64),
+                                   _part(t, tfs, dls))
             return decoded[t]
 
         def decode_subset(t: str, lo: int, hi: int):
@@ -476,7 +530,8 @@ def _segment_score_fn(
                 sub["n"].to_numpy(), sub["first_doc"].to_numpy(),
                 sub["last_doc"].to_numpy(),
             )
-            return ((docs - base).astype(np.int64), _part(t, tfs, dls))
+            return _live((docs - base).astype(np.int64),
+                         _part(t, tfs, dls))
 
         out_qid: List[np.ndarray] = []
         out_doc: List[np.ndarray] = []
@@ -654,6 +709,7 @@ def search_kernel(
         seg_counts,
         params.k,
         prune,
+        dead_by_seg=index.dead_by_segment or None,
     )
     # over-provision the group hash space for BATCH workloads: with
     # |segments| groups into |segments| reducers, balls-in-bins
@@ -689,6 +745,7 @@ def postings_from_blocks(index: InvertedIndex,
         "term", "segment", "first_doc", "last_doc", "n",
         "docs_bin", "tfs_bin", "dls_bin",
     ).filter(F.col("term").isin(sorted(set(terms))))
+    dead_global = index.dead_global  # liveDocs: drop tombstoned docs
 
     def decode(batches):
         for b in batches:
@@ -706,6 +763,12 @@ def postings_from_blocks(index: InvertedIndex,
                     list(g["dls_bin"]), g["n"].to_numpy(),
                     g["first_doc"].to_numpy(), g["last_doc"].to_numpy(),
                 )
+                if len(dead_global):
+                    from ..index.tombstones import drop_dead
+
+                    keep = drop_dead(docs.astype(np.int64), dead_global)
+                    if keep is not None:
+                        docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
                 out_t.append(np.full(len(docs), t, dtype=object))
                 out_d.append(docs)
                 out_f.append(tfs)
@@ -845,9 +908,10 @@ class SimpleSearcher:
     def doc(self, docid: str) -> Optional[str]:
         """Stored contents for a docid — the `SimpleSearcher.document`
         analogue (`SimpleSearcher.java:400-476`). Returns None when
-        the index was built without ``store_contents=True``. The
+        the index was built without ``store_contents=True`` and for
+        tombstoned docids (Lucene returns null for deleted docs). The
         equality filter pushes into the url-sorted docvec scan."""
-        dv = self.index.docvec
+        dv = self.index.live_docvec
         if "contents" not in dv.columns:
             return None
         rows = (dv.select("url", "contents")

@@ -57,9 +57,10 @@ def test_extend_index_matches_batch_build(spark, inc):
 
 def test_extend_index_refuses_recrawl_overlap(spark, inc):
     """A stream window re-crawling a url already in the base index
-    must refuse (no tombstones -> silent duplication is worse)."""
+    must refuse by default (silent duplication is worse); opting into
+    superseding is test_tombstones.py's job."""
     root, stream_out, cfg = inc
-    with pytest.raises(ValueError, match="tombstones"):
+    with pytest.raises(ValueError, match="supersede"):
         # the full corpus's stream ingest overlaps base_idx by design
         extend_index(spark, str(root / "batch_idx"), stream_out,
                      str(root / "ext2_idx"), cfg("ext2_idx"))
