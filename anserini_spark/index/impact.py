@@ -171,7 +171,8 @@ def search_impact(
             "min_dl", "sum_tf", "docs_bin", "tfs_bin", "dls_bin",
         ).filter(F.col("term").isin(all_terms))
         fn = _segment_score_fn(boosts, (0.0, 0.0, False), seg_counts, k,
-                               prune=True, shape_fns=shape_fns)
+                               prune=True, shape_fns=shape_fns,
+                               dead_by_seg=index.dead_by_segment or None)
         from ..search.searcher import BATCH_REPARTITION_MIN_QUERIES
 
         if len(boosts) >= BATCH_REPARTITION_MIN_QUERIES:
@@ -182,7 +183,7 @@ def search_impact(
         )
         return _finalize_arrays(index, hits, k)
     q = spark.createDataFrame(rows, "qid int, term string, qval double")
-    postings = index.docvec.select(
+    postings = index.live_docvec.select(
         "doc_id", F.explode(F.arrays_zip("terms", "tfs")).alias("e")
     ).select(
         F.col("e.terms").alias("term"), "doc_id",

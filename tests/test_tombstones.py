@@ -186,3 +186,27 @@ def test_extend_index_supersede_latest_wins(spark, tmp_path):
     s_want = SimpleSearcher(spark, str(tmp_path / "want"))
     for query in (Q, "recrawled fresh", "customer value"):
         assert s_ext.search(query, k=20) == s_want.search(query, k=20), query
+
+
+def test_impact_index_consults_tombstones(spark, tmp_path):
+    from anserini_spark.index.impact import build_impact_index, search_impact
+    from anserini_spark.search.searcher import InvertedIndex
+
+    docs = spark.createDataFrame(
+        [(f"d{i:03d}", {"alpha": 3.0 + i, "beta": 1.0}) for i in range(8)],
+        "url string, activations map<string,float>",
+    )
+    d = str(tmp_path / "imp")
+    build_impact_index(spark, docs, IndexConfig(out_dir=d,
+                                                doc_partitions=2,
+                                                block_partitions=2))
+    q = {1: {"alpha": 1.0}}
+    idx = InvertedIndex(spark, d)
+    top = search_impact(idx, q, k=3).collect()
+    assert top[0]["docid"] == "d007"  # largest alpha activation
+    add_tombstones(spark, d, ["d007"])
+    idx2 = InvertedIndex(spark, d)
+    for engine in ("kernel", "dataframe"):
+        got = [r["docid"] for r in search_impact(idx2, q, k=3,
+                                                 engine=engine).collect()]
+        assert "d007" not in got and got[0] == "d006", (engine, got)
