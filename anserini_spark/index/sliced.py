@@ -26,9 +26,12 @@ zero on failure (Lucene writers are process-local); here the unit of
 lost work is one stage of one slice.
 
 Cost note: slicing multiplies the fixed per-stage scheduling cost by
-``n_slices`` and each slice's shuffle moves 1/n of the data, so
-docs/sec is roughly flat while the checkpoint grain shrinks — pick
-``n_slices`` ~ (acceptable lost work) not ~ (cluster size).
+``n_slices``, each slice's shuffle moves 1/n of the data, and the
+CORPUS SCAN runs once per slice (the crc32 filter prunes rows before
+the extraction kernel, but parquet bytes are read n times — that
+read amplification is the price of slice-independent resume; column
+pruning keeps it to the url/text columns). Pick ``n_slices`` ~
+(acceptable lost work) not ~ (cluster size).
 """
 
 from __future__ import annotations
