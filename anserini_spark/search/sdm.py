@@ -63,15 +63,16 @@ def _idf(df_col, n: float):
 
 def search_sdm(index: InvertedIndex, queries: Dict[int, str],
                params: BM25Params, engine: str = "kernel") -> DataFrame:
-    if index.has_tombstones:
-        raise NotImplementedError(
-            "SDM's positional kernels do not consult tombstones "
-            "(liveDocs) yet — compact the index first "
-            "(index/compaction.py) so deletes are purged")
     if engine == "kernel":
         return _search_sdm_kernel(index, queries, params)
     spark = index.spark
     docvec = index.docvec_with_positions
+    if index.has_tombstones:
+        # liveDocs for the declarative engine: unigram idf stays stale
+        # (dictionary df), candidates/pair windows come from live docs
+        # only — matching the kernel's decode-time mask exactly
+        docvec = index.live_docvec
+        assert "positions" in docvec.columns
     n = float(index.stats["doc_count"])
     avgdl = float(index.stats["avgdl"])
     k1, b = params.k1, params.b
@@ -215,11 +216,15 @@ SDM_ROWS_SCHEMA = ("qid int, pid int, doc_id long, doclen long, "
                    "o long, u long, bag double")
 
 
-def _sdm_segment_fn(bag_weights, pairs, consts):
+def _sdm_segment_fn(bag_weights, pairs, consts, dead_global=None):
     """Per-segment kernel: decode positional block runs once per term;
     emit bag contribution rows (pid = -1) and per-pair window-count
     rows. ``bag_weights``: qid -> {term: weight (= occurrences * idf)};
-    ``pairs``: [(qid, pid, term_a, term_b)]."""
+    ``pairs``: [(qid, pid, term_a, term_b)]. ``dead_global``: sorted
+    absolute doc ids of tombstoned docs — masked at decode (this
+    kernel never prunes, so the mask is exact; unigram idf stays
+    stale per the Lucene delete contract, pair window dfs are counted
+    over live postings in BOTH engines)."""
     import numpy as np
     import pandas as pd
 
@@ -242,6 +247,18 @@ def _sdm_segment_fn(bag_weights, pairs, consts):
                 )
                 flat, starts = decode_positions_run(
                     list(g["pos_bin"]), tfs)
+                if dead_global is not None and len(docs):
+                    from ..index.tombstones import drop_dead
+
+                    keep = drop_dead(docs.astype(np.int64), dead_global)
+                    if keep is not None and not keep.all():
+                        # drop dead postings AND their position slices
+                        # (one vectorized repeat over the flat array)
+                        flat = flat[np.repeat(keep, tfs)]
+                        docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+                        starts = np.zeros(len(tfs), dtype=np.int64)
+                        if len(tfs) > 1:
+                            starts[1:] = np.cumsum(tfs[:-1])
                 decoded[t] = (docs, tfs, dls, flat, starts)
             return decoded[t]
 
@@ -343,8 +360,10 @@ def _search_sdm_kernel(index: InvertedIndex, queries: Dict[int, str],
             pairs.append((qid, pid, toks[i], toks[i + 1]))
             pid += 1
 
+    dead = index.dead_global
     fn = _sdm_segment_fn(
-        bag_weights, pairs, (k1 * (1 - b), k1 * b / avgdl))
+        bag_weights, pairs, (k1 * (1 - b), k1 * b / avgdl),
+        dead_global=dead if len(dead) else None)
     rows = (
         blocks.filter(F.col("term").isin(all_terms))
         .groupBy("segment")

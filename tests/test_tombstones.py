@@ -107,7 +107,10 @@ def test_local_searcher_consults_tombstones(spark, tombed):
     assert got == want
 
 
-def test_sdm_refuses_tombstones(spark, tmp_path):
+def test_sdm_consults_tombstones_both_engines(spark, tmp_path):
+    """SDM liveDocs: deleted docs vanish, kernel == dataframe engine
+    under tombstones (decode-time mask vs live-docvec anti-join;
+    unigram idf stale in both, pair window dfs live in both)."""
     from anserini_spark.search.sdm import search_sdm
 
     corpus = web_corpus(spark, "/root/testdata/sf0.001")
@@ -115,9 +118,15 @@ def test_sdm_refuses_tombstones(spark, tmp_path):
     build_index(spark, corpus, IndexConfig(out_dir=d, doc_partitions=2,
                                            block_partitions=3,
                                            store_positions=True))
-    add_tombstones(spark, d, ["https://nonexistent.example.org/x"])
-    with pytest.raises(NotImplementedError, match="compact"):
-        search_sdm(InvertedIndex(spark, d), {1: Q}, BM25Params(k=5))
+    idx = InvertedIndex(spark, d)
+    before = _rows(search_sdm(idx, {1: Q}, BM25Params(k=10)))
+    dead = [before[0][1], before[3][1]]
+    add_tombstones(spark, d, dead)
+    idx2 = InvertedIndex(spark, d)
+    kern = _rows(search_sdm(idx2, {1: Q}, BM25Params(k=10)))
+    assert not set(dead) & {u for _, u, _, _ in kern}
+    assert kern == _rows(search_sdm(idx2, {1: Q}, BM25Params(k=10),
+                                    engine="dataframe"))
 
 
 def test_merge_purges_scores_match_fresh_build(spark, tombed):
