@@ -28,10 +28,12 @@ inherits exactly these semantics through Lucene). Same contract here:
 Scale shape: tombstone lookup is one broadcast semi-join against the
 docvec (column-pruned scan) at searcher init, cached; the per-segment
 dead-id arrays live on the driver and ride into the kernel closure —
-bounded by delete count, not corpus size. Engine paths that do not
-consult liveDocs (SDM positional kernel, boolean set ops, impact
-indexes) REFUSE an index with live tombstones rather than silently
-returning dead docs; purge first.
+bounded by delete count, not corpus size. EVERY engine consults
+liveDocs: the BM25/similarity kernel and SDM's positional kernel mask
+at decode, `postings_from_blocks` (boolean set ops) and the impact
+kernel likewise, and the declarative engines anti-join
+``live_docvec`` — pinned across all of them by
+``tests/test_tombstones.py``.
 """
 
 from __future__ import annotations
