@@ -157,16 +157,9 @@ def multislice_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOMB_MOD, TOMB_REM = 7, 3
 
 
-def tombstone_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-query BM25 top-10 over an index with TOMBSTONED docs
-    (doc_id % 7 == 3 deleted via `index/tombstones.py` — Lucene
-    liveDocs): deleted docs must vanish from every ranking while the
-    surviving docs keep the scores of the FULL collection statistics
-    (df/avgdl stay stale until a purging merge — Lucene's
-    deleteDocuments contract). The DuckDB oracle recomputes exactly
-    that: BM25 with stats over ALL docs, ranking restricted to live
-    docs. Own fingerprint-keyed dir (variant tag) so the tombstone
-    append never pollutes the shared gate index."""
+def _tombstoned_gate_dir(spark: SparkSession, sf_dir: str) -> str:
+    """The ws gate index with the deterministic doc_id%7==3 delete set
+    tombstoned (own fingerprint-keyed dir; idempotent)."""
     from ..index.tombstones import add_tombstones, has_tombstones
 
     d = _gate_index(spark, sf_dir, variant="tomb")
@@ -178,7 +171,46 @@ def tombstone_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id").collect()
         ]
         add_tombstones(spark, d, dead)
-    idx = InvertedIndex(spark, d)
+    return d
+
+
+def tombstone_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-query BM25 top-10 over an index with TOMBSTONED docs
+    (doc_id % 7 == 3 deleted via `index/tombstones.py` — Lucene
+    liveDocs): deleted docs must vanish from every ranking while the
+    surviving docs keep the scores of the FULL collection statistics
+    (df/avgdl stay stale until a purging merge — Lucene's
+    deleteDocuments contract). The DuckDB oracle recomputes exactly
+    that: BM25 with stats over ALL docs, ranking restricted to live
+    docs. Own fingerprint-keyed dir (variant tag) so the tombstone
+    append never pollutes the shared gate index."""
+    idx = InvertedIndex(spark, _tombstoned_gate_dir(spark, sf_dir))
+    hits = search_kernel_similarity(idx, _fixed_queries(), "bm25", k=TOPK,
+                                    k1=K1, b=B)
+    return hits.select(
+        "qid",
+        F.col("docid").cast("long").alias("doc_id"),
+        "rank",
+        "score",
+    ).orderBy("qid", "rank")
+
+
+def purged_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The purge path externally verified: `merge.merge_indexes` over
+    the tombstoned gate index physically drops the deleted docs and
+    recomputes stats, so the merged output must score EXACTLY like an
+    index that never contained them — the DuckDB oracle is plain BM25
+    over the corpus WITHOUT the doc_id%7==3 rows (stats AND ranking
+    over the shrunken collection — contrast tombstone_bm25_topk's
+    stale-stats pre-merge semantics)."""
+    from ..index.merge import merge_indexes
+
+    base = _tombstoned_gate_dir(spark, sf_dir)
+    out = base + "_purged"
+    merge_indexes(spark, [base],
+                  IndexConfig(out_dir=out, analyzer="ws",
+                              doc_partitions=8, block_partitions=16))
+    idx = InvertedIndex(spark, out)
     hits = search_kernel_similarity(idx, _fixed_queries(), "bm25", k=TOPK,
                                     k1=K1, b=B)
     return hits.select(
@@ -580,6 +612,19 @@ def _bm25_tombstone_oracle(k1: float, b: float, mod: int, rem: int) -> str:
     assert marker in base, "bm25 oracle shape changed"
     return base.replace(
         marker, marker + f"  WHERE doc_id % {mod} <> {rem}\n", 1)
+
+
+def _bm25_purged_oracle(k1: float, b: float, mod: int, rem: int) -> str:
+    """BM25 over the corpus with deleted docs REMOVED before
+    tokenization — stats and ranking both over the shrunken
+    collection (post-merge physical-delete semantics)."""
+    from .corpus_queries import _bm25_oracle
+
+    base = _bm25_oracle(k1, b)
+    docs_where = "WHERE text IS NOT NULL AND trim(text) <> ''"
+    assert docs_where in base, "tok CTE shape changed"
+    return base.replace(
+        docs_where, docs_where + f" AND doc_id % {mod} <> {rem}", 1)
 
 
 def _with_tie_adjust(base_sql: str) -> str:
@@ -1295,6 +1340,10 @@ def oracle_sqls() -> dict[str, str]:
         # ranking over live docs only
         "tombstone_bm25_topk": _with_tie_adjust(
             _bm25_tombstone_oracle(K1, B, TOMB_MOD, TOMB_REM)),
+        # post-merge physical-delete semantics: stats AND ranking over
+        # the shrunken collection
+        "purged_bm25_topk": _with_tie_adjust(
+            _bm25_purged_oracle(K1, B, TOMB_MOD, TOMB_REM)),
         "qld_index_topk": _with_tie_adjust(_qld_oracle(MU)),
         "qljm_index_topk": _with_tie_adjust(_qljm_oracle(QLJM_LAMBDA)),
         "inl2_index_topk": _with_tie_adjust(_inl2_oracle(INL2_C)),
