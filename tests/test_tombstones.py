@@ -219,3 +219,40 @@ def test_impact_index_consults_tombstones(spark, tmp_path):
         got = [r["docid"] for r in search_impact(idx2, q, k=3,
                                                  engine=engine).collect()]
         assert "d007" not in got and got[0] == "d006", (engine, got)
+
+
+def test_sdm_over_tombstoned_positional_slices(spark, tmp_path):
+    """The full stack at once: positional slices, searched unmerged,
+    with per-slice tombstones — SDM must exclude dead docs and agree
+    with the declarative engine over the same union."""
+    from anserini_spark.search.multislice import MultiSliceIndex
+    from anserini_spark.search.sdm import search_sdm
+
+    corpus = web_corpus(spark, "/root/testdata/sf0.001")
+    cfg = lambda o: IndexConfig(out_dir=str(tmp_path / o),
+                                doc_partitions=2, block_partitions=3,
+                                store_positions=True)
+    dirs = []
+    for i in range(2):
+        build_index(spark, corpus.filter(F.crc32("url") % 2 == i),
+                    cfg(f"s{i}"))
+        dirs.append(str(tmp_path / f"s{i}"))
+    mi = MultiSliceIndex(spark, dirs)
+    before = _rows(search_sdm(mi, {1: Q}, BM25Params(k=10)))
+    dead = [before[0][1], before[2][1]]
+    for d in dirs:
+        add_tombstones(spark, d, dead)
+    mi2 = MultiSliceIndex(spark, dirs)
+    kern = _rows(search_sdm(mi2, {1: Q}, BM25Params(k=10)))
+    assert not set(dead) & {u for _, u, _, _ in kern}
+    assert kern == _rows(search_sdm(mi2, {1: Q}, BM25Params(k=10),
+                                    engine="dataframe"))
+
+
+def test_rm3_excludes_tombstoned_docs(spark, tombed):
+    from anserini_spark.search.rm3 import search_rm3
+
+    _, d, _, dead, _ = tombed
+    idx = InvertedIndex(spark, d)
+    hits, _ = search_rm3(idx, {1: Q}, BM25Params(k=20))
+    assert not set(dead) & {r["docid"] for r in hits.collect()}
