@@ -10,8 +10,13 @@ run file (`SearchCollection.main` / `SearchMsmarco.main` analogue).
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 
-from pyspark.sql import SparkSession
+# importable without --py-files when run straight from a checkout
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession  # noqa: E402
 
 
 def main() -> None:
@@ -56,8 +61,10 @@ def main() -> None:
     else:
         topics = read_topics_tsv(spark, args.topics)
 
+    # comma-separated dirs = unmerged slices (MultiSliceIndex)
+    index = (args.index.split(",") if "," in args.index else args.index)
     if args.similarity in ("bm25", "bm25accurate"):
-        searcher = SimpleSearcher(spark, args.index, k1=k1, b=b,
+        searcher = SimpleSearcher(spark, index, k1=k1, b=b,
                                   engine=args.engine,
                                   lossy=args.similarity == "bm25")
         if args.rm3:
@@ -67,7 +74,12 @@ def main() -> None:
     else:
         from anserini_spark.search.searcher import InvertedIndex
 
-        idx = InvertedIndex(spark, args.index)
+        if isinstance(index, list):
+            from anserini_spark.search.multislice import MultiSliceIndex
+
+            idx = MultiSliceIndex(spark, index)
+        else:
+            idx = InvertedIndex(spark, index)
         kw = {}
         if args.sim_param is not None:
             kw = {"qld": {"mu": args.sim_param},
