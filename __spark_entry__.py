@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multislice_bm25_topk": iq.multislice_bm25_topk,
         "tombstone_bm25_topk": iq.tombstone_bm25_topk,
         "purged_bm25_topk": iq.purged_bm25_topk,
+        "boolean_topk": iq.boolean_topk,
         "qld_index_topk": iq.qld_index_topk,
         "qljm_index_topk": iq.qljm_index_topk,
         "inl2_index_topk": iq.inl2_index_topk,

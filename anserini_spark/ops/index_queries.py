@@ -156,6 +156,41 @@ def multislice_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TOMB_MOD, TOMB_REM = 7, 3
 
+# boolean gate clauses over the ws vocab (terms present at every sf;
+# no term reused across clauses within a query — Lucene BooleanQuery
+# shapes: SHOULD+MUST, SHOULD+MUST_NOT, SHOULD+FILTER, pure-MUST,
+# all four together)
+BOOL_QUERIES = {
+    1: {"should": ["spark", "join"], "must": ["customer"]},
+    2: {"should": ["slow", "query"], "must_not": ["spark"]},
+    3: {"should": ["table", "scan"], "filter": ["join"]},
+    4: {"must": ["merge", "sort"]},
+    5: {"should": ["window", "stream"], "must": ["batch"],
+        "must_not": ["vector"], "filter": ["data"]},
+}
+
+
+def boolean_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed boolean queries (SHOULD/MUST/MUST_NOT/FILTER,
+    `search/boolean.py` — `BooleanQuery.Builder` semantics:
+    SHOULD+MUST score, FILTER/MUST_NOT gate) through the block index.
+    The DuckDB oracle recomputes the float32 BM25 clause scoring
+    bit-exactly (REAL casts mirror the numpy float32 ops) plus the
+    set algebra (matched-MUST == |MUST|, matched-FILTER == |FILTER|,
+    matched-MUST_NOT == 0, SHOULD required only when no MUST/FILTER)
+    in pure SQL."""
+    from ..search.bm25 import BM25Params
+    from ..search.boolean import search_boolean
+
+    idx = InvertedIndex(spark, _gate_index(spark, sf_dir))
+    hits = search_boolean(idx, BOOL_QUERIES, BM25Params(k1=K1, b=B, k=TOPK))
+    return hits.select(
+        "qid",
+        F.col("docid").cast("long").alias("doc_id"),
+        "rank",
+        "score",
+    ).orderBy("qid", "rank")
+
 
 def _tombstoned_gate_dir(spark: SparkSession, sf_dir: str) -> str:
     """The ws gate index with the deterministic doc_id%7==3 delete set
@@ -612,6 +647,80 @@ def _bm25_tombstone_oracle(k1: float, b: float, mod: int, rem: int) -> str:
     assert marker in base, "bm25 oracle shape changed"
     return base.replace(
         marker, marker + f"  WHERE doc_id % {mod} <> {rem}\n", 1)
+
+
+def _boolean_oracle(k1: float, b: float) -> str:
+    """Float32 BM25 clause scoring + boolean set algebra in DuckDB.
+    REAL casts mirror the engine's numpy/JVM float32 ops bit-exactly
+    (verified: FLOAT arithmetic in DuckDB is IEEE binary32, same as
+    np.float32); the f32 sum happens in DOUBLE like Spark's agg."""
+    vals = ", ".join(
+        f"({qid}, '{t}', '{c}')"
+        for qid, clauses in BOOL_QUERIES.items()
+        for c, terms in clauses.items()
+        for t in terms
+    )
+    c1 = (f"(CAST({k1!r} AS REAL) * "
+          f"(CAST(1.0 AS REAL) - CAST({b!r} AS REAL)))")
+    c2 = (f"((CAST({k1!r} AS REAL) * CAST({b!r} AS REAL)) / "
+          f"CAST(s.avgdl AS REAL))")
+    return f"""
+WITH {_TOK_CTE},
+q(qid, term, clause) AS (VALUES {vals}),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(doclen) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+),
+dfreq AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS dfreq FROM tf
+  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term
+),
+w AS (
+  SELECT q.qid, q.term, q.clause,
+         CASE WHEN q.clause IN ('should', 'must')
+              THEN CAST(ln(1.0 + (s.n - d.dfreq + 0.5) / (d.dfreq + 0.5))
+                        AS REAL)
+              ELSE CAST(0.0 AS REAL) END AS wgt
+  FROM q JOIN dfreq d ON q.term = d.term CROSS JOIN stats s
+),
+req AS (
+  SELECT qid,
+         count(DISTINCT CASE WHEN clause = 'must' THEN term END) AS n_must,
+         count(DISTINCT CASE WHEN clause = 'filter' THEN term END) AS n_filter
+  FROM w GROUP BY qid
+),
+agg AS (
+  SELECT w.qid, tf.doc_id,
+         sum(CASE WHEN w.clause IN ('should', 'must') THEN CAST(
+               w.wgt * CAST(tf.tf AS REAL)
+               / (CAST(tf.tf AS REAL) + {c1}
+                  + {c2} * CAST(dl.doclen AS REAL))
+             AS DOUBLE) ELSE 0.0 END) AS score64,
+         count(CASE WHEN w.clause = 'must' THEN 1 END) AS m,
+         count(CASE WHEN w.clause = 'filter' THEN 1 END) AS f,
+         count(CASE WHEN w.clause = 'must_not' THEN 1 END) AS mn
+  FROM w
+  JOIN tf ON tf.term = w.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY w.qid, tf.doc_id
+),
+bool_hits AS (
+  SELECT agg.qid, agg.doc_id, CAST(agg.score64 AS REAL) AS score
+  FROM agg JOIN req ON agg.qid = req.qid
+  WHERE agg.m = req.n_must AND agg.f = req.n_filter AND agg.mn = 0
+    AND (req.n_must + req.n_filter > 0 OR agg.score64 > 0)
+)
+SELECT qid, doc_id, rank, round(CAST(score AS DOUBLE), 4) AS score
+FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank,
+         score
+  FROM bool_hits
+)
+WHERE rank <= {TOPK}
+"""
 
 
 def _bm25_purged_oracle(k1: float, b: float, mod: int, rem: int) -> str:
@@ -1344,6 +1453,7 @@ def oracle_sqls() -> dict[str, str]:
         # the shrunken collection
         "purged_bm25_topk": _with_tie_adjust(
             _bm25_purged_oracle(K1, B, TOMB_MOD, TOMB_REM)),
+        "boolean_topk": _with_tie_adjust(_boolean_oracle(K1, B)),
         "qld_index_topk": _with_tie_adjust(_qld_oracle(MU)),
         "qljm_index_topk": _with_tie_adjust(_qljm_oracle(QLJM_LAMBDA)),
         "inl2_index_topk": _with_tie_adjust(_inl2_oracle(INL2_C)),
