@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tombstone_bm25_topk": iq.tombstone_bm25_topk,
         "purged_bm25_topk": iq.purged_bm25_topk,
         "boolean_topk": iq.boolean_topk,
+        "impact_topk": iq.impact_topk,
         "qld_index_topk": iq.qld_index_topk,
         "qljm_index_topk": iq.qljm_index_topk,
         "inl2_index_topk": iq.inl2_index_topk,

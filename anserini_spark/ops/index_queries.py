@@ -170,6 +170,83 @@ BOOL_QUERIES = {
 }
 
 
+# impact (SLR) gate: activations derived deterministically from the
+# documents table (activation = tf * 0.1, stored float32 like a real
+# learned-sparse model emits). Query weights are powers of two (the
+# per-term contribution qval * round64(q/10^p) is then bit-identical
+# to SQL's round64(qval*q/10^p) — power-of-two scaling commutes with
+# rounding) and queries have <= 2 terms (two-addend f64 sums are
+# commutative, so the kernel's weight-ordered accumulation equals
+# SQL's scan-ordered SUM bit-for-bit; at >= 3 addends the synthetic
+# corpus's highly-degenerate dot products flip 1-ulp near-ties
+# between engines — measured, not hypothetical)
+IMPACT_PRECISION = 4
+IMPACT_QUERIES = {
+    1: {"spark": 1.0, "join": 0.5},
+    2: {"window": 1.0, "batch": 0.5},
+    3: {"customer": 1.0, "value": 0.5},
+    4: {"scan": 0.5, "filter": 1.0},
+    5: {"merge": 1.0, "sort": 0.25},
+    6: {"vector": 1.0},
+    7: {"row": 0.5, "column": 1.0},
+    8: {"slow": 0.5, "query": 1.0},
+}
+
+
+def _impact_gate_index(spark: SparkSession, sf_dir: str) -> str:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fp = docs.agg(
+        F.count("*").alias("n"), F.max("doc_id").alias("m"),
+        F.bit_xor(F.xxhash64("doc_id", "text")).alias("h"),
+    ).collect()[0]
+    from ..index.build import SEG_SHIFT
+
+    tag = (f"{os.path.basename(os.path.normpath(sf_dir))}"
+           f"_{fp['n']}_{fp['m']}_{(fp['h'] or 0) & 0xFFFFFFFFFFFF:x}"
+           f"_s{SEG_SHIFT}_imp{IMPACT_PRECISION}")
+    out_dir = f"/tmp/anserini_gate_impidx_{tag}"
+    from ..index.impact import build_impact_index
+
+    toks = F.expr("filter(split(text, ' '), x -> x != '')")
+    tf = (
+        docs.select(F.format_string("%020d", F.col("doc_id")).alias("url"),
+                    F.explode(toks).alias("term"))
+        .groupBy("url", "term").count()
+    )
+    acts = tf.groupBy("url").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(
+                F.col("term"),
+                (F.col("count") * F.lit(0.1)).cast("float").alias("v"),
+            ))
+        ).alias("activations")
+    )
+    build_impact_index(
+        spark, acts,
+        IndexConfig(out_dir=out_dir, doc_partitions=8, block_partitions=16),
+        precision=IMPACT_PRECISION,
+    )
+    return out_dir
+
+
+def impact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLR impact retrieval (quantized dot product through the block
+    kernel, `index/impact.py` — `SearchCollection.java` -impact /
+    SLR analogue) externally gated: the DuckDB oracle re-derives the
+    activations (tf*0.1 as float32), re-quantizes (round(act*10^p)),
+    and recomputes the dot product in SQL."""
+    from ..index.impact import search_impact
+
+    idx = InvertedIndex(spark, _impact_gate_index(spark, sf_dir))
+    hits = search_impact(idx, IMPACT_QUERIES, k=TOPK)
+    return hits.select(
+        "qid",
+        F.col("docid").cast("long").alias("doc_id"),
+        "rank",
+        "score",
+    ).orderBy("qid", "rank")
+
+
 def boolean_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed boolean queries (SHOULD/MUST/MUST_NOT/FILTER,
     `search/boolean.py` — `BooleanQuery.Builder` semantics:
@@ -647,6 +724,42 @@ def _bm25_tombstone_oracle(k1: float, b: float, mod: int, rem: int) -> str:
     assert marker in base, "bm25 oracle shape changed"
     return base.replace(
         marker, marker + f"  WHERE doc_id % {mod} <> {rem}\n", 1)
+
+
+def _impact_oracle() -> str:
+    """Quantized-impact dot product in SQL: activation = float32 of
+    tf*0.1, q = round(act*10^p) (no .5 boundaries by construction, so
+    DuckDB's half-away round equals Python's banker round here),
+    score = sum(qval * q) / 10^p with power-of-two qvals."""
+    scale = float(10 ** IMPACT_PRECISION)
+    vals = ", ".join(
+        f"({qid}, '{t}', {w!r})"
+        for qid, m in IMPACT_QUERIES.items() for t, w in m.items()
+    )
+    return f"""
+WITH {_TOK_CTE},
+iq(qid, term, qval) AS (VALUES {vals}),
+quant AS (
+  SELECT doc_id, term,
+         round(CAST(CAST(tf * 0.1 AS REAL) AS DOUBLE) * {scale!r}) AS q
+  FROM tf
+),
+scored AS (
+  SELECT iq.qid, quant.doc_id,
+         sum(iq.qval * quant.q / {scale!r}) AS score
+  FROM iq JOIN quant ON quant.term = iq.term
+  WHERE quant.q > 0
+  GROUP BY iq.qid, quant.doc_id
+)
+SELECT qid, doc_id, rank, round(score, 4) AS score
+FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank,
+         score
+  FROM scored
+)
+WHERE rank <= {TOPK}
+"""
 
 
 def _boolean_oracle(k1: float, b: float) -> str:
@@ -1454,6 +1567,7 @@ def oracle_sqls() -> dict[str, str]:
         "purged_bm25_topk": _with_tie_adjust(
             _bm25_purged_oracle(K1, B, TOMB_MOD, TOMB_REM)),
         "boolean_topk": _with_tie_adjust(_boolean_oracle(K1, B)),
+        "impact_topk": _with_tie_adjust(_impact_oracle()),
         "qld_index_topk": _with_tie_adjust(_qld_oracle(MU)),
         "qljm_index_topk": _with_tie_adjust(_qljm_oracle(QLJM_LAMBDA)),
         "inl2_index_topk": _with_tie_adjust(_inl2_oracle(INL2_C)),
