@@ -10,6 +10,11 @@ inherits exactly these semantics through Lucene). Same contract here:
 * ``add_tombstones(spark, index_dir, urls)`` appends deleted urls to
   ``{index_dir}/tombstones.parquet`` (append-only parquet dir; readers
   dedup). O(deletes) — nothing else is touched.
+* Reader-at-open semantics (Lucene's ``DirectoryReader`` contract):
+  an ``InvertedIndex``/``LocalSearcher`` snapshots liveDocs when
+  first consulted and caches them; deletes added afterwards are seen
+  by NEW reader instances, not retroactively by old ones — reopen to
+  observe, exactly like ``DirectoryReader.openIfChanged``.
 * Query time: `search/searcher.py`'s kernel drops dead postings at
   DECODE time (before accumulation), so MaxScore's threshold never
   feeds on dead docs and the ranked result equals an index that never
