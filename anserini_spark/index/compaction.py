@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from .build import IndexConfig, build_index
 from .merge import merge_indexes
+from .tombstones import tombstones_path
 
 
 def plan_compaction(sizes: list[int], max_slices: int = 8,
@@ -137,10 +138,22 @@ def compact(spark: SparkSession, slice_dirs: list[str], cfg: IndexConfig,
     them). Returns the new slice-dir list (merge outputs + untouched
     survivors), stable-ordered by original position so repeated
     compactions are deterministic."""
+    # plan on LIVE size: stats.json num_docs still counts tombstoned
+    # docs, which would make heavily-deleted slices look larger than
+    # what actually survives the merge and skew the smallest-first
+    # policy (policy quality only — results stay exact either way)
     sizes = []
     for d in slice_dirs:
         with open(os.path.join(d, "stats.json")) as f:
-            sizes.append(int(json.load(f)["num_docs"]))
+            n = int(json.load(f)["num_docs"])
+        tomb = tombstones_path(d)
+        if os.path.isdir(tomb):
+            import pyarrow.dataset as _ds
+
+            dead_urls = _ds.dataset(tomb, format="parquet").to_table(
+                columns=["url"])["url"].to_pylist()
+            n = max(0, n - len(set(dead_urls)))
+        sizes.append(n)
     plan = plan_compaction(sizes, max_slices, merge_factor)
     if not plan:
         return list(slice_dirs)

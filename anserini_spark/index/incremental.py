@@ -30,13 +30,38 @@ tie-break) — pinned by ``tests/test_incremental.py``.
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
+import shutil
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from .build import IndexConfig, build_index
 from .merge import merge_indexes
+
+
+def _stream_fingerprint(stream_dir: str) -> str:
+    """Cheap content fingerprint of a stream output dir: sha256 over
+    the sorted (relative path, size) list of its data files. Any new
+    micro-batch changes the file list, so a stale fold is detectable
+    without reading row data."""
+    entries = []
+    for root, _dirs, files in os.walk(stream_dir):
+        rel_root = os.path.relpath(root, stream_dir)
+        for f in files:
+            if f.startswith("."):
+                continue
+            p = os.path.join(root, f)
+            try:
+                entries.append((os.path.join(rel_root, f),
+                                os.path.getsize(p)))
+            except OSError:
+                continue
+    entries.sort()
+    return hashlib.sha256(
+        json.dumps(entries).encode("utf-8")).hexdigest()
 
 
 def fold_stream_slice(spark: SparkSession, stream_dir: str,
@@ -74,6 +99,21 @@ def extend_index(spark: SparkSession, base_dir: str, stream_dir: str,
     across base+slice. Default still refuses — superseding mutates
     the base dir (appends tombstones), so it must be opted into."""
     slice_dir = os.path.join(out_dir + ".slice")
+    # The fold is resumable (build_index skips completed stages), which
+    # is wanted after a crash — but if stream_dir has GROWN since the
+    # fold, reusing it would silently drop the new rows. Fingerprint
+    # the stream input and rebuild the fold when it no longer matches.
+    fp = _stream_fingerprint(stream_dir)
+    fp_path = os.path.join(slice_dir, "stream_fingerprint.json")
+    if os.path.isdir(slice_dir):
+        prev = None
+        try:
+            with open(fp_path, "r", encoding="utf-8") as fh:
+                prev = json.load(fh).get("sha256")
+        except (OSError, ValueError):
+            prev = None
+        if prev != fp:
+            shutil.rmtree(slice_dir, ignore_errors=True)
     slice_cfg = IndexConfig(
         out_dir=slice_dir, analyzer=cfg.analyzer, lang=cfg.lang,
         doc_partitions=cfg.doc_partitions,
@@ -82,6 +122,8 @@ def extend_index(spark: SparkSession, base_dir: str, stream_dir: str,
         store_contents=cfg.store_contents,
     )
     fold_stream_slice(spark, stream_dir, slice_cfg)
+    with open(fp_path, "w", encoding="utf-8") as fh:
+        json.dump({"sha256": fp, "stream_dir": stream_dir}, fh)
 
     base_urls = spark.read.parquet(
         os.path.join(base_dir, "docvec.parquet")).select("url")
@@ -110,4 +152,9 @@ def extend_index(spark: SparkSession, base_dir: str, stream_dir: str,
         store_positions=cfg.store_positions,
         store_contents=cfg.store_contents,
     )
-    return merge_indexes(spark, [base_dir, slice_dir], merge_cfg)
+    man = merge_indexes(spark, [base_dir, slice_dir], merge_cfg)
+    # the fold was only an input to the merge; removing it keeps a
+    # rerun from ever seeing a stale completed manifest (the
+    # fingerprint above covers the crash-during-merge resume window)
+    shutil.rmtree(slice_dir, ignore_errors=True)
+    return man

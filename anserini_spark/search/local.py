@@ -51,6 +51,14 @@ class LocalSearcher:
         with open(os.path.join(index_dir, "manifest.json")) as f:
             man = json.load(f)
         self.analyzer = man["docvec"]["lineage"]["analyzer"]
+        # same compatibility gates as InvertedIndex — the serving path
+        # must not silently query an index whose id layout or analyzer
+        # chain has drifted (index/versioning.py)
+        from ..index.versioning import (check_analysis_version,
+                                        check_seg_shift)
+
+        check_seg_shift(man, index_dir, SEG_SHIFT)
+        check_analysis_version(man, index_dir)
         self.params = BM25Params(k1=k1, b=b, lossy=lossy)
         self.seg_counts = {int(s): int(c)
                            for s, c in self.stats["segments"].items()}

@@ -29,6 +29,17 @@ add its dir to the reader. Query cost grows with the number of slices
 only through extra small parquet files per term (Lucene's
 tiered-merge trade-off); ``index/merge.merge_indexes`` is the
 compaction when slice counts grow.
+
+**Invariant: slices must be url-disjoint.** The union sums doc counts
+and per-term df/cf across slices; a url present in two slices (e.g. a
+page recrawled across stream windows) would be scored twice and would
+double-count collection statistics. ``fold_stream_slice`` dedups only
+WITHIN its window, and the latest-wins supersede guard lives on the
+``extend_index`` merge path, not here. When slices may overlap either
+(a) pass ``check_disjoint=True`` (one Spark job at open: raises on
+the first duplicate url, sampling offenders), or (b) route recrawls
+through ``index/incremental.extend_index(supersede=True)``, which
+tombstones superseded urls so this reader masks them at decode time.
 """
 
 from __future__ import annotations
@@ -49,7 +60,8 @@ class MultiSliceIndex(InvertedIndex):
     rerankers, SDM over positional slices...)."""
 
     def __init__(self, spark: SparkSession, slice_dirs: Sequence[str],
-                 cache: bool = True, cache_blocks: bool = False):
+                 cache: bool = True, cache_blocks: bool = False,
+                 check_disjoint: bool = False):
         if not slice_dirs:
             raise ValueError("MultiSliceIndex needs at least one slice")
         self.spark = spark
@@ -96,6 +108,28 @@ class MultiSliceIndex(InvertedIndex):
         self._cache_blocks = cache_blocks
         self._dfs: Dict[str, DataFrame] = {}
         self._dict_ds = None
+        if check_disjoint and len(self.slices) > 1:
+            self._assert_url_disjoint()
+
+    def _assert_url_disjoint(self) -> None:
+        """Opt-in guard for the url-disjointness invariant (one Spark
+        job at open). Within a slice docvec holds one row per url
+        (build-time dedup), so any url with union multiplicity > 1 is
+        a cross-slice overlap that would double-count stats/scores."""
+        dup = (
+            reduce(DataFrame.unionByName,
+                   [s.docvec.select("url") for s in self.slices])
+            .groupBy("url").agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+        )
+        sample = [r["url"] for r in dup.limit(5).collect()]
+        if sample:
+            raise ValueError(
+                "MultiSliceIndex slices overlap on url (first "
+                f"offenders: {sample}) — the union would double-count "
+                "df/cf and return duplicate docids. Rebuild disjoint "
+                "slices, or merge recrawls via extend_index("
+                "supersede=True) so superseded urls are tombstoned.")
 
     def _load(self, name: str, do_cache: bool) -> DataFrame:
         if name not in self._dfs:

@@ -75,32 +75,17 @@ class InvertedIndex:
         with open(os.path.join(index_dir, "manifest.json")) as f:
             self.manifest = json.load(f)
         self.analyzer = self.manifest["docvec"]["lineage"]["analyzer"]
-        # id-layout versioning: indexes record the SEG_SHIFT they were
-        # built with (absent = the pre-round-4 40-bit layout). A shift
-        # mismatch would silently mis-slot every doc in the dense
-        # per-segment accumulators, so refuse to load instead.
-        built_shift = self.manifest["docvec"].get("seg_shift", 40)
-        if built_shift != SEG_SHIFT:
-            raise ValueError(
-                f"index {index_dir} was built with SEG_SHIFT="
-                f"{built_shift}, engine uses {SEG_SHIFT}; rebuild the "
-                "index (stale cached dir?)")
-        # analyzer/lexicon versioning: querying with a drifted analyzer
-        # (e.g. a grown KStem lexicon) would silently degrade ranking
-        # instead of failing — refuse, same contract as seg_shift. "ws"
-        # is a pure whitespace split (no chain/lexicon), so pre-version
-        # ws manifests stay loadable.
-        from ..analysis.analyzer import analysis_version
+        # id-layout + analyzer/lexicon version gates (shared with the
+        # LocalSearcher serving path): a SEG_SHIFT mismatch would
+        # silently mis-slot every doc in the dense accumulators, and a
+        # drifted analyzer would silently degrade ranking — refuse
+        # both. "ws" is a pure whitespace split (no chain/lexicon), so
+        # pre-version ws manifests stay loadable.
+        from ..index.versioning import (check_analysis_version,
+                                        check_seg_shift)
 
-        cur_av = analysis_version(self.analyzer)
-        built_av = self.manifest["docvec"]["lineage"].get(
-            "analysis_version", "ws1" if self.analyzer == "ws" else None)
-        if built_av != cur_av:
-            raise ValueError(
-                f"index {index_dir} was built with analyzer version "
-                f"{built_av}, engine's '{self.analyzer}' chain is now "
-                f"{cur_av}; rebuild the index (analyzer/lexicon "
-                "changed since it was built)")
+        check_seg_shift(self.manifest, index_dir, SEG_SHIFT)
+        check_analysis_version(self.manifest, index_dir)
         self._cache = cache
         self._cache_blocks = cache_blocks
         self._dfs: Dict[str, DataFrame] = {}

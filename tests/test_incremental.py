@@ -90,3 +90,33 @@ def test_fold_stream_slice_latest_crawl_wins(spark, tmp_path):
           for r in spark.read.parquet(out + "/docvec.parquet").collect()}
     assert dv == {"https://a/1": ["fresh", "new", "page"],
                   "https://a/2": ["other"]}
+
+
+def test_slice_dir_removed_after_merge(spark, inc):
+    """extend_index must not leave a completed `<out>.slice` fold
+    behind: a rerun against the same out_dir after the stream grew
+    would resume it (all stages done -> skipped) and silently drop
+    the new rows."""
+    import os
+
+    root, _stream_out, _cfg = inc
+    assert os.path.isdir(str(root / "ext_idx"))
+    assert not os.path.exists(str(root / "ext_idx") + ".slice")
+
+
+def test_stream_fingerprint_tracks_growth(tmp_path):
+    """The crash-resume guard: any new micro-batch file changes the
+    fingerprint, so a stale fold is rebuilt instead of reused."""
+    from anserini_spark.index.incremental import _stream_fingerprint
+
+    d = tmp_path / "stream"
+    d.mkdir()
+    (d / "part-000.parquet").write_bytes(b"x" * 10)
+    fp1 = _stream_fingerprint(str(d))
+    assert fp1 == _stream_fingerprint(str(d))
+    (d / "part-001.parquet").write_bytes(b"y" * 4)
+    fp2 = _stream_fingerprint(str(d))
+    assert fp1 != fp2
+    # size growth of an existing file is also caught
+    (d / "part-001.parquet").write_bytes(b"y" * 9)
+    assert _stream_fingerprint(str(d)) != fp2

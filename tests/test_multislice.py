@@ -139,3 +139,17 @@ def test_union_matches_batch_sdm_positional(spark, tmp_path):
     ]
     assert rows(MultiSliceIndex(spark, dirs)) == \
         rows(InvertedIndex(spark, str(tmp_path / "batch")))
+
+
+def test_check_disjoint_accepts_disjoint_slices(spark, sliced):
+    _batch, dirs = sliced
+    ms = MultiSliceIndex(spark, dirs, check_disjoint=True)
+    assert ms.stats["num_docs"] > 0
+
+
+def test_check_disjoint_detects_url_overlap(spark, sliced):
+    """batch contains every slice's urls, so batch+slice0 overlaps —
+    the opt-in guard must refuse instead of double-counting df/cf."""
+    batch_dir, dirs = sliced
+    with pytest.raises(ValueError, match="overlap on url"):
+        MultiSliceIndex(spark, [batch_dir, dirs[0]], check_disjoint=True)
