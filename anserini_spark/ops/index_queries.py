@@ -342,6 +342,7 @@ def qld_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QLJM_LAMBDA = 0.1
 INL2_C = 1.0
+SPL_C = 1.0
 
 
 def qljm_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -357,6 +358,18 @@ def inl2_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lucene DFRSimilarity(BasicModelIn, AfterEffectL, NormalizationH2))
     through the block index + MaxScore kernel."""
     return _index_topk(spark, sf_dir, "inl2", c=INL2_C)
+
+
+def spl_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-query IB SPL (c=1.0; Lucene IBSimilarity(
+    DistributionSPL, LambdaDF, NormalizationH2), `SearchArgs.java`
+    -spl) through the block index + MaxScore kernel. The oracle
+    recomputes the published formula — lambda=(df+1)/(n+1) clamped
+    away from 1, tfn = tf*log2(1+c*avgdl/dl), per-term
+    -log2((lambda^(tfn/(tfn+1)) - lambda)/(1-lambda)) — in pure SQL;
+    Lucene-8.3 binary run-file parity is not reconstructible (no
+    published golden), documented in COVERAGE.md."""
+    return _index_topk(spark, sf_dir, "spl", c=SPL_C)
 
 
 RM3_FB_DOCS = 10
@@ -978,6 +991,54 @@ WHERE rank <= {TOPK}
 """
 
 
+def _spl_oracle(c: float) -> str:
+    """IB SPL (DistributionSPL + LambdaDF + NormalizationH2, log2
+    throughout): lam = (df+1)/(n+1) (clamped to 0.99 when df = n,
+    the DistributionSPL 0/0 guard the engine mirrors); tfn =
+    tf * log2(1 + c*avgdl/dl); per-term
+    -log2((lam^(tfn/(tfn+1)) - lam) / (1 - lam))."""
+    return f"""
+WITH {_TOK_CTE},
+q(qid, term) AS (VALUES {_values_clause()}),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(doclen) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+),
+dfreq AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS dfreq FROM tf
+  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term
+),
+scored AS (
+  SELECT qid, doc_id,
+         sum(-ln((pow(lam, tfn / (tfn + 1.0)) - lam) / (1.0 - lam))
+             / ln(2.0)) AS score
+  FROM (
+    SELECT q.qid, tf.doc_id,
+           CAST(tf.tf AS DOUBLE)
+           * ln(1.0 + {c!r} * s.avgdl / CAST(dl.doclen AS DOUBLE))
+           / ln(2.0) AS tfn,
+           CASE WHEN d.dfreq >= s.n THEN 0.99
+                ELSE (d.dfreq + 1.0) / (s.n + 1.0) END AS lam
+    FROM q
+    JOIN dfreq d ON q.term = d.term
+    JOIN tf ON tf.term = q.term
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN stats s
+  )
+  GROUP BY qid, doc_id
+)
+SELECT qid, doc_id, rank, round(score, 4) AS score
+FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank,
+         score
+  FROM scored
+)
+WHERE rank <= {TOPK}
+"""
+
+
 def _rm3_oracle(k1: float, b: float, fb_docs: int, fb_terms: int,
                 alpha: float, ratio: float) -> str:
     """Full RM3 in pure SQL (`Rm3Reranker.java:127-242`): BM25 first
@@ -1571,6 +1632,7 @@ def oracle_sqls() -> dict[str, str]:
         "qld_index_topk": _with_tie_adjust(_qld_oracle(MU)),
         "qljm_index_topk": _with_tie_adjust(_qljm_oracle(QLJM_LAMBDA)),
         "inl2_index_topk": _with_tie_adjust(_inl2_oracle(INL2_C)),
+        "spl_index_topk": _with_tie_adjust(_spl_oracle(SPL_C)),
         "sdm_topk": _with_tie_adjust(_sdm_oracle(K1, B)),
         "rm3_topk": _with_tie_adjust(
             _rm3_oracle(K1, B, RM3_FB_DOCS, RM3_FB_TERMS, RM3_ALPHA,
