@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qljm_index_topk": iq.qljm_index_topk,
         "inl2_index_topk": iq.inl2_index_topk,
         "spl_index_topk": iq.spl_index_topk,
+        "zh_bm25_topk": iq.zh_bm25_topk,
         "sdm_topk": iq.sdm_topk,
         "rm3_topk": iq.rm3_topk,
         "bm25prf_topk": iq.bm25prf_topk,

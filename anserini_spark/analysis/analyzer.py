@@ -48,6 +48,29 @@ def stem_mode(analyzer: str) -> str:
     return analyzer if analyzer in ("porter", "krovetz") else "none"
 
 
+def analyze_for(analyzer: str, keep_stopwords: bool = False):
+    """Analyzer-name -> chain callable ``text -> [terms]`` — the
+    single routing point shared by the index kernel and both query
+    paths (the `-language` analyzer wiring of
+    `IndexCollection.java:739-772` / `SearchCollection.java:231-251`).
+    "cjk" and "fr" route to the non-English chains in
+    ``analysis/multilingual.py``; everything else is the English
+    chain keyed by stem mode ("ws" = bare whitespace split)."""
+    if analyzer == "ws":
+        return lambda t: [w for w in (t or "").split() if w]
+    if analyzer == "cjk":
+        from .multilingual import cjk_analyze
+
+        return lambda t: cjk_analyze(t or "")
+    if analyzer == "fr":
+        from .multilingual import fr_analyze
+
+        return lambda t: fr_analyze(t or "")
+    stem = stem_mode(analyzer)
+    return lambda t: analyze(t or "", stem=stem,
+                             keep_stopwords=keep_stopwords)
+
+
 # bump when the tokenizer / possessive / stop chain changes behavior
 _CHAIN_TAG = "tok1"
 
@@ -70,6 +93,14 @@ def analysis_version(analyzer: str) -> str:
         # activation maps, not the tokenizer chain, so the version
         # must not move when the chain/stop set/lexicon does
         return "impact1"
+    if analyzer in ("cjk", "fr"):
+        from . import multilingual as ml
+
+        data = (" ".join(sorted(ml.CJK_STOP_WORDS)) if analyzer == "cjk"
+                else " ".join(sorted(ml.FRENCH_STOP_WORDS))
+                + " ".join(sorted(ml.FRENCH_ELISION_ARTICLES)))
+        h = hashlib.md5(data.encode()).hexdigest()[:8]
+        return f"{analyzer}1.{h}"
     stop_h = hashlib.md5(
         " ".join(sorted(ENGLISH_STOP_WORDS)).encode()
     ).hexdigest()[:8]
@@ -196,6 +227,11 @@ def analyze_batch_counts(texts: pd.Series, analyzer: str = "porter",
     vectorized string ops outrun CPython dict traffic.
     """
     n_docs = len(texts)
+    if analyzer in ("cjk", "fr"):
+        raise ValueError(
+            "analyze_batch_counts covers the English chains only; "
+            "the cjk/fr chains run through analyze_for (the kernel's "
+            "per-row path)")
     if analyzer == "ws":
         toks = texts.fillna("").str.split()
     else:

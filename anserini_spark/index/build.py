@@ -127,7 +127,10 @@ def blocks_schema(store_positions: bool) -> T.StructType:
 @dataclass
 class IndexConfig:
     out_dir: str
-    analyzer: str = "porter"          # "porter" | "krovetz" | "none" | "ws"
+    analyzer: str = "porter"          # "porter" | "krovetz" | "none" |
+                                      # "ws" | "cjk" | "fr"
+                                      # (analysis/multilingual.py maps
+                                      # corpus lang -> analyzer name)
     keep_stopwords: bool = False
     lang: Optional[str] = "en"        # None = keep all languages
     doc_partitions: int = 16          # P: segments (Lucene-segment analogue)
@@ -146,11 +149,14 @@ class IndexConfig:
 
 
 def _analyze_for(cfg: IndexConfig):
-    if cfg.analyzer == "ws":
-        return lambda t: [w for w in (t or "").split() if w]
-    stem = stem_mode(cfg.analyzer)
-    keep = cfg.keep_stopwords
-    return lambda t: analyze(t or "", stem=stem, keep_stopwords=keep)
+    from ..analysis.analyzer import analyze_for
+
+    if cfg.store_positions and cfg.analyzer in ("cjk", "fr"):
+        raise ValueError(
+            "store_positions (SDM positional postings) is only wired "
+            "for the English chains; index the cjk/fr corpus without "
+            "positions")
+    return analyze_for(cfg.analyzer, keep_stopwords=cfg.keep_stopwords)
 
 
 ANALYZED_SCHEMA = T.StructType(

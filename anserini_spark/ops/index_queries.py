@@ -40,10 +40,62 @@ B = 0.4
 MU = 1000.0
 
 
+# Deterministic en-token -> Chinese-word map covering the synthetic
+# corpus's full 31-word vocabulary. The zh gate derives a Han-script
+# corpus from the lang='zh' rows (the synthetic table carries English
+# tokens for every lang) by mapping each token and concatenating
+# WITHOUT spaces — real Chinese has no word boundaries, which is
+# exactly what the CJK bigram chain must handle — inserting a break
+# character every ZH_GROUP words so the oracle also exercises run
+# segmentation and the lone-unigram path.
+ZH_MAP = {
+    "a": "之", "agg": "聚合", "batch": "批次", "big": "大",
+    "column": "列", "customer": "顾客", "data": "数据", "dup": "重复",
+    "fast": "快", "filter": "过滤", "group": "分组", "hash": "哈希",
+    "join": "连接", "key": "键", "line": "线", "merge": "合并",
+    "order": "订单", "part": "部件", "query": "查询", "row": "行",
+    "scan": "扫描", "slow": "慢", "small": "小", "sort": "排序",
+    "spark": "火花", "stream": "流", "table": "表", "the": "该",
+    "value": "值", "vector": "向量", "window": "窗口",
+}
+ZH_BREAK = "，"
+ZH_GROUP = 5
+
+# fixed zh queries: mapped word pairs from the same vocabulary; the
+# CJK chain bigram-segments these exactly like document text (cross-
+# word bigrams like 花连 simply have df=0 and drop out in both engines)
+ZH_QUERIES = [
+    (1, "火花连接"),
+    (2, "窗口批次流"),
+    (3, "顾客值"),
+    (4, "扫描过滤"),
+    (5, "合并排序键"),
+    (6, "向量"),
+    (7, "数据行列"),
+    (8, "慢查询表"),
+]
+
+
+def _zh_text_expr():
+    """Spark-side zh-corpus derivation, mirrored 1:1 by the oracle's
+    zhdoc CTE: map each token, append the break char after every
+    ZH_GROUP-th, concatenate with no separator."""
+    ftoks = "filter(split(text, ' '), x -> x != '')"
+    m = "map(" + ", ".join(
+        f"'{k}', '{v}'" for k, v in sorted(ZH_MAP.items())) + ")"
+    return F.expr(
+        f"array_join(transform({ftoks}, (x, i) -> "
+        f"concat(coalesce(element_at({m}, x), x), "
+        f"CASE WHEN (i + 1) % {ZH_GROUP} = 0 THEN '{ZH_BREAK}' "
+        f"ELSE '' END)), '')"
+    ).alias("text")
+
+
 def _gate_index(spark: SparkSession, sf_dir: str,
                 positions: bool = False, bigram: bool = False,
                 slice_part: str | None = None,
-                variant: str | None = None) -> str:
+                variant: str | None = None,
+                zh: bool = False) -> str:
     """Build (or reuse — fingerprint-keyed dir + resumable manifest)
     a ws-analyzer block index over the sf documents table. With
     ``bigram`` the indexed text is the document's adjacent word pairs
@@ -52,8 +104,12 @@ def _gate_index(spark: SparkSession, sf_dir: str,
     synthetic unigram vocabulary cannot provide, and the derivation
     is deterministic in both Spark and DuckDB. ``slice_part`` ("a" /
     "b") builds over the interleaved doc_id%5 split for the
-    multislice gate."""
+    multislice gate. ``zh`` derives the Han-script corpus from the
+    lang='zh' rows (see ZH_MAP) and indexes it through the CJK bigram
+    analyzer chain."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if zh:
+        docs = docs.filter(F.col("lang") == "zh")
     if slice_part == "a":
         docs = docs.filter(F.col("doc_id") % 5 != 0)
     elif slice_part == "b":
@@ -74,10 +130,13 @@ def _gate_index(spark: SparkSession, sf_dir: str,
            f"_{fp['n']}_{fp['m']}_{(fp['h'] or 0) & 0xFFFFFFFFFFFF:x}"
            f"_s{SEG_SHIFT}{'_pos' if positions else ''}"
            f"{'_big' if bigram else ''}"
+           f"{'_zh' if zh else ''}"
            f"{f'_sl{slice_part}' if slice_part else ''}"
            f"{f'_{variant}' if variant else ''}")
     out_dir = f"/tmp/anserini_gate_idx_{tag}"
-    if bigram:
+    if zh:
+        text_col = _zh_text_expr()
+    elif bigram:
         ftoks = "filter(split(text, ' '), x -> x != '')"
         text_col = F.expr(
             f"CASE WHEN size({ftoks}) >= 2 THEN "
@@ -90,11 +149,12 @@ def _gate_index(spark: SparkSession, sf_dir: str,
     corpus = docs.select(
         F.format_string("%020d", F.col("doc_id")).alias("url"),
         text_col,
-        F.lit("en").alias("lang"),
+        F.lit("zh" if zh else "en").alias("lang"),
     )
     build_index(
         spark, corpus,
-        IndexConfig(out_dir=out_dir, analyzer="ws",
+        IndexConfig(out_dir=out_dir, analyzer="cjk" if zh else "ws",
+                    lang="zh" if zh else "en",
                     doc_partitions=8, block_partitions=16,
                     store_positions=positions),
     )
@@ -358,6 +418,25 @@ def inl2_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lucene DFRSimilarity(BasicModelIn, AfterEffectL, NormalizationH2))
     through the block index + MaxScore kernel."""
     return _index_topk(spark, sf_dir, "inl2", c=INL2_C)
+
+
+def zh_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-query BM25 over the Han-script corpus through the CJK
+    bigram analyzer chain (`IndexCollection.java:739-772` routes
+    ``-language zh`` to Lucene's CJKAnalyzer; `analysis/
+    multilingual.py` is the Spark chain). The oracle recomputes the
+    full pipeline in SQL: en-token -> hanzi mapping, no-space
+    concatenation with periodic break chars, bigram segmentation per
+    CJK run (lone chars emit unigrams), then accurate BM25."""
+    idx = InvertedIndex(spark, _gate_index(spark, sf_dir, zh=True))
+    hits = search_kernel_similarity(idx, dict(ZH_QUERIES), "bm25",
+                                    k=TOPK, k1=K1, b=B)
+    return hits.select(
+        "qid",
+        F.col("docid").cast("long").alias("doc_id"),
+        "rank",
+        "score",
+    ).orderBy("qid", "rank")
 
 
 def spl_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -979,6 +1058,109 @@ scored AS (
     CROSS JOIN stats s
   )
   GROUP BY qid, doc_id
+)
+SELECT qid, doc_id, rank, round(score, 4) AS score
+FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank,
+         score
+  FROM scored
+)
+WHERE rank <= {TOPK}
+"""
+
+
+def _zh_values_clause() -> str:
+    """(qid, term) VALUES rows for the zh queries, pre-analyzed by the
+    SAME CJK chain the engine uses (queries are constants, like every
+    other gate's FIXED_QUERIES; the DOCUMENT-side tokenization is what
+    the SQL recomputes). Duplicate (qid, term) rows carry the
+    bag-of-words boost exactly like the English clause."""
+    from ..analysis.multilingual import cjk_analyze
+
+    rows = []
+    for qid, text in ZH_QUERIES:
+        for t in cjk_analyze(text):
+            rows.append(f"({qid}, '{t}')")
+    return ", ".join(rows)
+
+
+def _zh_bm25_oracle(k1: float, b: float) -> str:
+    """Accurate BM25 over the zh-derived corpus with the CJK bigram
+    tokenization recomputed in pure SQL: map tokens via ZH_MAP,
+    concatenate (break char every ZH_GROUP words), split runs on the
+    break, emit adjacent char pairs per run (a length-1 run emits its
+    single char)."""
+    m_values = ", ".join(f"('{k}', '{v}')"
+                         for k, v in sorted(ZH_MAP.items()))
+    return f"""
+WITH m(word, zh) AS (VALUES {m_values}),
+docs AS (
+  SELECT doc_id, text FROM documents
+  WHERE lang = 'zh' AND text IS NOT NULL AND trim(text) <> ''
+),
+arr AS (
+  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS a
+  FROM docs
+),
+zhw AS (
+  SELECT z.doc_id, z.i,
+         coalesce(m.zh, z.word)
+         || CASE WHEN z.i % {ZH_GROUP} = 0 THEN '{ZH_BREAK}'
+                 ELSE '' END AS w
+  FROM (
+    SELECT doc_id, i, a[i] AS word
+    FROM arr, unnest(range(1, len(a) + 1)) AS t(i)
+  ) z
+  LEFT JOIN m ON m.word = z.word
+),
+zhdoc AS (
+  SELECT doc_id, string_agg(w, '' ORDER BY i) AS zh
+  FROM zhw GROUP BY doc_id
+),
+seg AS (
+  SELECT doc_id, s
+  FROM zhdoc, unnest(str_split(zh, '{ZH_BREAK}')) AS t(s)
+  WHERE s <> ''
+),
+tok AS (
+  SELECT doc_id, substr(s, CAST(i AS INT), 2) AS term
+  FROM seg, unnest(range(1, length(s))) AS t(i)
+  UNION ALL
+  SELECT doc_id, s AS term FROM seg WHERE length(s) = 1
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, term
+),
+dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS doclen
+  FROM tok GROUP BY doc_id
+),
+q(qid, term) AS (VALUES {_zh_values_clause()}),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(doclen) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+),
+dfreq AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS dfreq FROM tf
+  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term
+),
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         sum(
+           ln(1.0 + (s.n - d.dfreq + 0.5) / (d.dfreq + 0.5))
+           * CAST(tf.tf AS DOUBLE)
+           / (CAST(tf.tf AS DOUBLE) + {k1 * (1 - b)!r}
+              + {k1 * b!r} / s.avgdl * CAST(dl.doclen AS DOUBLE))
+         ) AS score
+  FROM q
+  JOIN dfreq d ON q.term = d.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id
 )
 SELECT qid, doc_id, rank, round(score, 4) AS score
 FROM (
@@ -1633,6 +1815,7 @@ def oracle_sqls() -> dict[str, str]:
         "qljm_index_topk": _with_tie_adjust(_qljm_oracle(QLJM_LAMBDA)),
         "inl2_index_topk": _with_tie_adjust(_inl2_oracle(INL2_C)),
         "spl_index_topk": _with_tie_adjust(_spl_oracle(SPL_C)),
+        "zh_bm25_topk": _with_tie_adjust(_zh_bm25_oracle(K1, B)),
         "sdm_topk": _with_tie_adjust(_sdm_oracle(K1, B)),
         "rm3_topk": _with_tie_adjust(
             _rm3_oracle(K1, B, RM3_FB_DOCS, RM3_FB_TERMS, RM3_ALPHA,

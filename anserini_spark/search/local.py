@@ -122,9 +122,9 @@ class LocalSearcher:
                                  lossy=self._lossy)
 
     def _analyze(self, text: str) -> List[str]:
-        if self.analyzer == "ws":
-            return [w for w in (text or "").split() if w]
-        return analyze(text or "", stem=stem_mode(self.analyzer))
+        from ..analysis.analyzer import analyze_for
+
+        return analyze_for(self.analyzer)(text or "")
 
     def _dfs(self, terms: List[str]) -> Dict[str, int]:
         if not terms:

@@ -173,9 +173,9 @@ class InvertedIndex:
         return df
 
     def analyze_query(self, text: str) -> List[str]:
-        if self.analyzer == "ws":
-            return [w for w in (text or "").split() if w]
-        return analyze(text or "", stem=stem_mode(self.analyzer))
+        from ..analysis.analyzer import analyze_for
+
+        return analyze_for(self.analyzer)(text or "")
 
     def term_stats(self, terms: Iterable[str]) -> Dict[str, Tuple[int, int]]:
         """term -> (df, cf). The dictionary is tiny relative to the
