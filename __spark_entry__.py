@@ -22,6 +22,7 @@ from anserini_spark.ops import corpus_queries as cq
 from anserini_spark.ops import dedup as dd
 from anserini_spark.ops import events as ev
 from anserini_spark.ops import index_queries as iq
+from anserini_spark.ops import ltr
 from anserini_spark.ops import similarity as sim
 from anserini_spark.ops import textstats as ts
 
@@ -59,6 +60,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25prf_topk": iq.bm25prf_topk,
         "axiom_topk": iq.axiom_topk,
         "eval_metrics": iq.eval_metrics,
+        "ltr_features": ltr.ltr_features,
         "doclen_histogram": cq.doclen_histogram,
         "top_bigrams": cq.top_bigrams,
         # dedup family
@@ -86,6 +88,7 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(cq.oracle_sqls())
     out.update(iq.oracle_sqls())
+    out.update(ltr.oracle_sqls())
     out.update(ts.oracle_sqls())
     out.update(dd.oracle_sqls())
     out.update(sim.oracle_sqls())

@@ -105,46 +105,8 @@ def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace-token BM25 (double precision) over documents for the
-    fixed query set; top-10 per qid by (score desc, doc_id asc).
-
-    tf feeds both the df-stats aggregation and the scoring join, and dl
-    feeds stats + scoring — persisted so the tokenize/explode pass runs
-    once."""
-    tf = _tf(spark, sf_dir).persist()
-    dl = doc_lengths(spark, sf_dir).persist()
-    q = spark.createDataFrame(FIXED_QUERIES, "qid int, term string")
-    stats = dl.agg(
-        F.count("*").cast("double").alias("n"),
-        (F.sum("doclen").cast("double") / F.count("*")).alias("avgdl"),
-    )
-    dfreq = (
-        tf.join(F.broadcast(q.select("term").distinct()), "term")
-        .groupBy("term")
-        .agg(F.count("*").cast("double").alias("dfreq"))
-    )
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n") - F.col("dfreq") + F.lit(0.5)) / (F.col("dfreq") + F.lit(0.5))
-    )
-    tfd = F.col("tf").cast("double")
-    dld = F.col("doclen").cast("double")
-    contrib = idf * tfd / (
-        tfd + F.lit(K1 * (1 - B)) + F.lit(K1 * B) / F.col("avgdl") * dld
-    )
-    scored = (
-        tf.join(F.broadcast(q), "term")
-        .join(F.broadcast(dfreq), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("qid", "doc_id")
-        .agg(F.sum(contrib).alias("score"))
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOPK)
-        .select("qid", "doc_id", "rank", F.round("score", 4).alias("score"))
-    )
+    fixed query set; top-10 per qid by (score desc, doc_id asc)."""
+    return _bm25_topk_with(spark, sf_dir, K1, B)
 
 
 def bm25_tuned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -155,6 +117,9 @@ def bm25_tuned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bm25_topk_with(spark: SparkSession, sf_dir: str, k1: float,
                     b: float) -> DataFrame:
+    """tf feeds both the df-stats aggregation and the scoring join,
+    and dl feeds stats + scoring — persisted so the tokenize/explode
+    pass runs once."""
     tf = _tf(spark, sf_dir).persist()
     dl = doc_lengths(spark, sf_dir).persist()
     q = spark.createDataFrame(FIXED_QUERIES, "qid int, term string")
