@@ -1274,4 +1274,42 @@ unfair unknown unmarried unrelated unsubstantiated unsuccessful untrue
 unusable unwanted uranium usually vaccination venezuela venezuelan
 verification via vietnam viral warsaw washington welsh were wildlife
 workplace wrongful wrongfully you
+
+abortionist abroad adjustment adoptee advertizing aforementioned
+african africanized agitator agoraphobia airbus anabolic
+angiography antiapartheid apache aspirant attendant attributable
+awardee ayatollah biomass blackhawk boeing bomber brent broadcaster
+brunei buyout calgene capita carpel catabolic cementation
+chlorofluorocarbon chunnel cogeneration colonize columbian
+conciliator connector contra contractor controller correspondent
+counterespionage countervailing crashworthiness crashworthy creditor
+crosser crossover cutoff cyberattack defendant deleterious depletion
+deplorable devolution diaspora disapproving discernible disclosure
+disinvestment divestiture dna dod doing donation downstream dupont
+earning eighties emirate enhancer evader exoskeleton exportation
+exxon falkland featherbedding fertilization finding flywheel french
+fundraising gabon generality geothermal glycolysis going greenhouse
+greenpeace
+handler holding hydride hydro hydroponic hypocritical immolation
+implantation incursion ineffective intensify interconnection
+ionospheric iraq jousting kickback layoff legionnaire levitate
+levitation lockerbie lockout lyme machination maglev malfeasance
+methicillin microorganism middleman minimill misappropriate
+motherhood multiport nato nino nobel nonmilitary oncoming opec
+oscar oversold parameter paris patentable perpetrator petrochemical
+peso phenomenon piecemeal piecework pisa plotter policeman polio
+poliomyelitis polyandry polygyny postmenopausal potency
+precautionary preferable pressurization pretoria preventative
+proactively probability prohibition propound protestation protester
+proton psychoactive quantify racism ranking rating readership
+recalculation redefinition regulator repay resistant resonance
+retiree ricin roadway rotterdam ruling saharan sans sarin scanner
+schengen seabed seismology selfless sinking smokestack smuggler
+soman sony spaceborne spokespeople staph statistically stirling
+stoic stoicism stoppage streetcar subsidize substantive substrate
+subtraction supercritical supernova supporter sweatshop swiss
+taiwan televangelist thalweg tiananmen tied tipster titan
+tryptophan undercover underdeveloped undersea unexplained unrest
+unsolicited usable used using valdez vitrification vitro volcanic
+volkswagen walkout wreckage york
 """

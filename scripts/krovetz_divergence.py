@@ -150,7 +150,7 @@ def main() -> None:
     stamp = time.strftime("%Y-%m-%d %H:%M:%S")
     with open(os.path.join(REPO, "COVERAGE.md"), "a") as f:
         f.write(f"""
-## Krovetz-mode rank divergence {stamp} (round-5)
+## Krovetz-mode rank divergence {stamp} (round-6)
 
 Porter-mode vs krovetz-mode BM25 over the identical real-English
 corpus ({report['docs']} robust04 topic statements as documents,
