@@ -403,9 +403,30 @@ def ann_lsh_topk_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_ivf_topk_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``ann_ivf_topk`` probing all nlist cells (exact by
-    construction); oracle = exact brute-force cosine top-k."""
-    return ann_ivf_topk(spark, sf_dir, nlist=IVF_NLIST, nprobe=IVF_NLIST)
+    """IVF probe through the PERSISTED index artifact (round 6,
+    `index/ivf.py`: build-once centroids + cell-partitioned layout),
+    probing all nlist cells (exact by construction); oracle = exact
+    brute-force cosine top-k. Caches the built index per corpus
+    fingerprint so repeated gate runs exercise open-and-search, the
+    serving path."""
+    import os
+
+    from ..index.ivf import IVFIndex, build_ivf_index
+
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    fp = e.agg(
+        F.count("*").alias("n"),
+        F.bit_xor(F.xxhash64("vec_id")).alias("h"),
+    ).collect()[0]
+    tag = (f"{os.path.basename(os.path.normpath(sf_dir))}"
+           f"_{fp['n']}_{(fp['h'] or 0) & 0xFFFFFFFFFFFF:x}_n{IVF_NLIST}")
+    out_dir = f"/tmp/anserini_ivf_idx_{tag}"
+    if not os.path.exists(os.path.join(out_dir, "manifest.json")):
+        build_ivf_index(spark, e, out_dir, nlist=IVF_NLIST)
+    idx = IVFIndex(spark, out_dir)
+    q = e.filter(F.col("vec_id") == 0).first()
+    return idx.search(list(q["embedding"]), k=TOPK,
+                      nprobe=idx.manifest["nlist"], exclude_vec_id=0)
 
 
 def embedding_neardup_lsh_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
