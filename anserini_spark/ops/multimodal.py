@@ -312,12 +312,36 @@ def _grid_feature(gray: np.ndarray) -> np.ndarray:
     )
 
 
+# Pluggable JPEG decoder hook (round 6). The pure-python codec in
+# jpeg.py is the correctness oracle; its entropy coding is per-symbol
+# Python, which is fine for gates but not for decoding image volumes
+# on a cluster. Deployments with a native codec (libjpeg-turbo via
+# PIL/cv2/torchvision — none are installed in this container) inject
+# it here ONCE per executor process: the callable takes the JPEG
+# bytes and returns an (h, w[, c]) uint8 numpy array. Workers pick it
+# up inside the Arrow batch loop, so the swap needs no change to any
+# pipeline code.
+_JPEG_DECODER = None
+
+
+def set_jpeg_decoder(fn) -> None:
+    """Install a native JPEG decoder: ``fn(payload: bytes) ->
+    np.ndarray`` (uint8 HxWx3 or HxW). Pass ``None`` to restore the
+    built-in pure-python codec."""
+    global _JPEG_DECODER
+    _JPEG_DECODER = fn
+
+
 def _decode_jpeg_payload(payload: bytes) -> dict:
     """Baseline-JPEG decode via the pure stdlib+numpy codec in
-    jpeg.py (huffman + dequantize + IDCT), features like PPM/PNG."""
-    from .jpeg import decode_jpeg
+    jpeg.py (huffman + dequantize + IDCT), features like PPM/PNG;
+    routed through the injected native decoder when one is set."""
+    if _JPEG_DECODER is not None:
+        px = np.asarray(_JPEG_DECODER(payload))
+    else:
+        from .jpeg import decode_jpeg
 
-    px = decode_jpeg(payload)
+        px = decode_jpeg(payload)
     if px.ndim == 2:
         px = px[:, :, None]
     gray = px[:, :, :3].mean(axis=2) / 255.0 if px.shape[2] >= 3 \

@@ -425,3 +425,32 @@ def test_multimodal_png_pipeline(spark):
     for r in resized:
         d = decode_image(bytes(r["payload"]))
         assert (d["width"], d["height"]) == (12, 12)
+
+
+def test_jpeg_native_decoder_hook():
+    """A injected 'native' JPEG decoder is routed to instead of the
+    pure-python codec, and clearing it restores the built-in path —
+    the volume-decode swap point the jpeg.py docstring promises."""
+    import numpy as np
+    from anserini_spark.ops import multimodal as mm
+    from anserini_spark.ops.jpeg import encode_jpeg
+
+    raster = np.tile(
+        np.arange(16, dtype=np.uint8)[:, None, None] * 16, (1, 16, 3))
+    payload = encode_jpeg(raster, quality=90)
+
+    calls = []
+
+    def stub(b: bytes):
+        calls.append(len(b))
+        return np.full((4, 6, 3), 128, dtype=np.uint8)
+
+    mm.set_jpeg_decoder(stub)
+    try:
+        d = mm.decode_image(payload)
+        assert calls and (d["width"], d["height"]) == (6, 4)
+    finally:
+        mm.set_jpeg_decoder(None)
+    # built-in codec restored: real dimensions again
+    d = mm.decode_image(payload)
+    assert (d["width"], d["height"]) == (16, 16)

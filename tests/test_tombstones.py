@@ -256,3 +256,72 @@ def test_rm3_excludes_tombstoned_docs(spark, tombed):
     idx = InvertedIndex(spark, d)
     hits, _ = search_rm3(idx, {1: Q}, BM25Params(k=20))
     assert not set(dead) & {r["docid"] for r in hits.collect()}
+
+
+def test_delete_cli_lifecycle(spark, tmp_path):
+    """CLI entry edge cases (round-6 verdict task 9): nonexistent
+    docid is a harmless no-op for search, double-delete is idempotent,
+    and delete-then-recrawl supersede restores the url via the
+    streaming merge path."""
+    from scripts.delete_docs import parse_args, run
+    from anserini_spark.index.incremental import extend_index
+
+    corpus = web_corpus(spark, "/root/testdata/sf0.001")
+    d = str(tmp_path / "cli_idx")
+    build_index(spark, corpus, IndexConfig(out_dir=d, doc_partitions=3,
+                                           block_partitions=4))
+    before = SimpleSearcher(spark, d).search(Q, k=10)
+    victim = before[0][0]
+
+    # 1. deleting a nonexistent docid: counted in the tombstone file
+    #    (append-only log semantics) but changes no search result
+    n = run(spark, parse_args(["--index", d, "--docid", "no/such/url"]))
+    assert n == 1
+    assert SimpleSearcher(spark, d).search(Q, k=10) == before
+
+    # 2. real delete via a --docids file
+    ids = tmp_path / "ids.txt"
+    ids.write_text(f"{victim}\n\n")  # blank line must be ignored
+    n = run(spark, parse_args(["--index", d, "--docids", str(ids)]))
+    assert n == 1
+    after = SimpleSearcher(spark, d).search(Q, k=10)
+    assert victim not in [u for u, _, _ in after]
+
+    # 3. double-delete is idempotent: same results, no error
+    run(spark, parse_args(["--index", d, "--docid", victim]))
+    assert SimpleSearcher(spark, d).search(Q, k=10) == after
+
+    # 4. delete-then-recrawl supersede: a fresh crawl of the victim
+    #    url folded with supersede=True must be searchable again
+    #    (stream dir carries the streamed docvec shape the ingest
+    #    query writes: url, warc_ts, doclen, terms, tfs)
+    import datetime as _dt
+    from collections import Counter as _Counter
+
+    from anserini_spark.analysis.analyzer import analyze_for
+
+    toks = analyze_for("porter")(" ".join(Q.split() * 5))
+    cnt = _Counter(toks)
+    terms = sorted(cnt)
+    stream = str(tmp_path / "stream")
+    spark.createDataFrame(
+        [(victim, _dt.datetime(2026, 1, 1), len(toks), terms,
+          [cnt[t] for t in terms])],
+        "url string, warc_ts timestamp, doclen long, "
+        "terms array<string>, tfs array<int>",
+    ).write.parquet(stream)
+    merged = str(tmp_path / "merged")
+    extend_index(spark, d, stream, merged,
+                 IndexConfig(out_dir=merged, doc_partitions=3,
+                             block_partitions=4), supersede=True)
+    hits = SimpleSearcher(spark, merged).search(Q, k=10)
+    assert victim in [u for u, _, _ in hits]
+
+
+def test_delete_cli_requires_target():
+    import pytest as _pytest
+
+    from scripts.delete_docs import parse_args
+
+    with _pytest.raises(SystemExit):
+        parse_args(["--index", "/tmp/x"])
