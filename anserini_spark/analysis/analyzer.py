@@ -66,6 +66,10 @@ def analyze_for(analyzer: str, keep_stopwords: bool = False):
         from .multilingual import fr_analyze
 
         return lambda t: fr_analyze(t or "")
+    if analyzer == "tweet":
+        from .tweet import tweet_analyze
+
+        return lambda t: tweet_analyze(t or "")
     stem = stem_mode(analyzer)
     return lambda t: analyze(t or "", stem=stem,
                              keep_stopwords=keep_stopwords)
@@ -101,6 +105,12 @@ def analysis_version(analyzer: str) -> str:
                 + " ".join(sorted(ml.FRENCH_ELISION_ARTICLES)))
         h = hashlib.md5(data.encode()).hexdigest()[:8]
         return f"{analyzer}1.{h}"
+    if analyzer == "tweet":
+        from . import tweet as tw
+
+        data = ("".join(sorted(tw._ENTITY_DELIMS))
+                + "".join(sorted(tw._NONENTITY_DELIMS)))
+        return f"tweet1.{hashlib.md5(data.encode()).hexdigest()[:8]}"
     stop_h = hashlib.md5(
         " ".join(sorted(ENGLISH_STOP_WORDS)).encode()
     ).hexdigest()[:8]

@@ -151,11 +151,11 @@ class IndexConfig:
 def _analyze_for(cfg: IndexConfig):
     from ..analysis.analyzer import analyze_for
 
-    if cfg.store_positions and cfg.analyzer in ("cjk", "fr"):
+    if cfg.store_positions and cfg.analyzer in ("cjk", "fr", "tweet"):
         raise ValueError(
             "store_positions (SDM positional postings) is only wired "
-            "for the English chains; index the cjk/fr corpus without "
-            "positions")
+            "for the English chains; index the cjk/fr/tweet corpus "
+            "without positions")
     return analyze_for(cfg.analyzer, keep_stopwords=cfg.keep_stopwords)
 
 

@@ -354,6 +354,20 @@ def _finalize(index: InvertedIndex, hits: DataFrame, k: int) -> DataFrame:
 def search_dataframe(
     index: InvertedIndex, queries: Dict[int, str], params: BM25Params
 ) -> DataFrame:
+    hits = _score_dataframe(index, queries, params)
+    if hits is None:
+        return index.spark.createDataFrame(
+            [], "qid int, docid string, rank int, score double")
+    return _finalize(index, hits, params.k)
+
+
+def _score_dataframe(
+    index: InvertedIndex, queries: Dict[int, str], params: BM25Params
+) -> Optional[DataFrame]:
+    """BM25 scoring half of the declarative engine: (qid, doc_id,
+    score float32) for every matching doc, no ranking — shared by the
+    standard (score desc, url asc) finalize and the tweet path's
+    (score desc, id_long desc) finalize (`search/tweets.py`)."""
     weights, scorer = _query_weights(index, queries, params)
     rows = [
         (qid, term, float(w))
@@ -361,7 +375,7 @@ def search_dataframe(
         for term, w in wmap.items()
     ]
     if not rows:
-        return index.spark.createDataFrame([], "qid int, docid string, rank int, score double")
+        return None
     qterms = index.spark.createDataFrame(rows, "qid int, term string, weight float")
     postings = index.live_docvec.select(
         "doc_id",
@@ -386,7 +400,7 @@ def search_dataframe(
         / (tf + F.lit(float(scorer.cache1)).cast("float")
            + F.lit(float(scorer.cache2)).cast("float") * dl)
     )
-    hits = (
+    return (
         postings.join(F.broadcast(qterms), "term")
         .withColumn("contrib", contrib.cast("float"))
         .groupBy("qid", "doc_id")
@@ -394,7 +408,6 @@ def search_dataframe(
         .withColumn("score", F.col("score64").cast("float"))
         .drop("score64")
     )
-    return _finalize(index, hits, params.k)
 
 
 # ---------------------------------------------------------------------------
