@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inl2_index_topk": iq.inl2_index_topk,
         "spl_index_topk": iq.spl_index_topk,
         "zh_bm25_topk": iq.zh_bm25_topk,
+        "fr_bm25_topk": iq.fr_bm25_topk,
         "sdm_topk": iq.sdm_topk,
         "rm3_topk": iq.rm3_topk,
         "bm25prf_topk": iq.bm25prf_topk,

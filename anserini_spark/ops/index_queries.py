@@ -61,6 +61,37 @@ ZH_MAP = {
 ZH_BREAK = "，"
 ZH_GROUP = 5
 
+# Deterministic en-token -> French-word map for the fr gate (lang='fr'
+# rows). Chosen to exercise every stage of the chain: elided articles
+# (d'un, l'ordre, l'état), the -aux plural (tableaux -> tableal),
+# plural/feminine strips (grandes -> grand), doubled-letter collapse
+# (données -> don), sub-6-char invariance (clés, tri, flux), and a
+# post-elision stopword (d'un -> un -> dropped).
+FR_MAP = {
+    "a": "d'un", "agg": "agrégation", "batch": "lot", "big": "grandes",
+    "column": "colonne", "customer": "clients", "data": "données",
+    "dup": "doublons", "fast": "rapides", "filter": "filtres",
+    "group": "groupes", "hash": "hachage", "join": "jointures",
+    "key": "clés", "line": "lignes", "merge": "fusions",
+    "order": "l'ordre", "part": "parties", "query": "requêtes",
+    "row": "rangée", "scan": "balayage", "slow": "lentes",
+    "small": "petites", "sort": "tri", "spark": "étincelle",
+    "stream": "flux", "table": "tableaux", "the": "l'état",
+    "value": "valeurs", "vector": "vecteurs", "window": "fenêtres",
+}
+
+FR_QUERIES = [
+    (1, "étincelle jointures"),
+    (2, "fenêtres lot flux"),
+    (3, "clients valeurs"),
+    (4, "balayage filtres"),
+    (5, "fusions tri clés"),
+    (6, "vecteurs"),
+    (7, "données rangée colonne"),
+    (8, "lentes requêtes tableaux"),
+]
+
+
 # fixed zh queries: mapped word pairs from the same vocabulary; the
 # CJK chain bigram-segments these exactly like document text (cross-
 # word bigrams like 花连 simply have df=0 and drop out in both engines)
@@ -74,6 +105,20 @@ ZH_QUERIES = [
     (7, "数据行列"),
     (8, "慢查询表"),
 ]
+
+
+def _fr_text_expr():
+    """Spark-side fr-corpus derivation: map each token via FR_MAP,
+    join with spaces (word-boundary language — no bigram games)."""
+    ftoks = "filter(split(text, ' '), x -> x != '')"
+    # Spark SQL string literals escape the apostrophe (d'un) as \'
+    esc = lambda s: s.replace("'", "\\'")  # noqa: E731
+    m = "map(" + ", ".join(
+        f"'{k}', '{esc(v)}'" for k, v in sorted(FR_MAP.items())) + ")"
+    return F.expr(
+        f"array_join(transform({ftoks}, "
+        f"x -> coalesce(element_at({m}, x), x)), ' ')"
+    ).alias("text")
 
 
 def _zh_text_expr():
@@ -95,7 +140,7 @@ def _gate_index(spark: SparkSession, sf_dir: str,
                 positions: bool = False, bigram: bool = False,
                 slice_part: str | None = None,
                 variant: str | None = None,
-                zh: bool = False) -> str:
+                zh: bool = False, fr: bool = False) -> str:
     """Build (or reuse — fingerprint-keyed dir + resumable manifest)
     a ws-analyzer block index over the sf documents table. With
     ``bigram`` the indexed text is the document's adjacent word pairs
@@ -110,6 +155,8 @@ def _gate_index(spark: SparkSession, sf_dir: str,
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     if zh:
         docs = docs.filter(F.col("lang") == "zh")
+    elif fr:
+        docs = docs.filter(F.col("lang") == "fr")
     if slice_part == "a":
         docs = docs.filter(F.col("doc_id") % 5 != 0)
     elif slice_part == "b":
@@ -130,12 +177,14 @@ def _gate_index(spark: SparkSession, sf_dir: str,
            f"_{fp['n']}_{fp['m']}_{(fp['h'] or 0) & 0xFFFFFFFFFFFF:x}"
            f"_s{SEG_SHIFT}{'_pos' if positions else ''}"
            f"{'_big' if bigram else ''}"
-           f"{'_zh' if zh else ''}"
+           f"{'_zh' if zh else ''}{'_fr' if fr else ''}"
            f"{f'_sl{slice_part}' if slice_part else ''}"
            f"{f'_{variant}' if variant else ''}")
     out_dir = f"/tmp/anserini_gate_idx_{tag}"
     if zh:
         text_col = _zh_text_expr()
+    elif fr:
+        text_col = _fr_text_expr()
     elif bigram:
         ftoks = "filter(split(text, ' '), x -> x != '')"
         text_col = F.expr(
@@ -146,15 +195,16 @@ def _gate_index(spark: SparkSession, sf_dir: str,
         ).alias("text")
     else:
         text_col = F.col("text")
+    lang = "zh" if zh else ("fr" if fr else "en")
+    analyzer = "cjk" if zh else ("fr" if fr else "ws")
     corpus = docs.select(
         F.format_string("%020d", F.col("doc_id")).alias("url"),
         text_col,
-        F.lit("zh" if zh else "en").alias("lang"),
+        F.lit(lang).alias("lang"),
     )
     build_index(
         spark, corpus,
-        IndexConfig(out_dir=out_dir, analyzer="cjk" if zh else "ws",
-                    lang="zh" if zh else "en",
+        IndexConfig(out_dir=out_dir, analyzer=analyzer, lang=lang,
                     doc_partitions=8, block_partitions=16,
                     store_positions=positions),
     )
@@ -430,6 +480,25 @@ def zh_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     CJK run (lone chars emit unigrams), then accurate BM25."""
     idx = InvertedIndex(spark, _gate_index(spark, sf_dir, zh=True))
     hits = search_kernel_similarity(idx, dict(ZH_QUERIES), "bm25",
+                                    k=TOPK, k1=K1, b=B)
+    return hits.select(
+        "qid",
+        F.col("docid").cast("long").alias("doc_id"),
+        "rank",
+        "score",
+    ).orderBy("qid", "rank")
+
+
+def fr_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-query BM25 over the French-derived corpus through the
+    FrenchAnalyzer chain shape (`analysis/multilingual.py`: elision ->
+    lowercase -> snowball stop set -> Savoy minimal stem). The oracle
+    recomputes the WHOLE chain in SQL — token->French mapping, the
+    elision regex, the stop list, and the full minimal-stemmer rule
+    chain (-aux -> -al, sequential x/s/r/e/é strips, doubled-letter
+    collapse) — then accurate BM25."""
+    idx = InvertedIndex(spark, _gate_index(spark, sf_dir, fr=True))
+    hits = search_kernel_similarity(idx, dict(FR_QUERIES), "bm25",
                                     k=TOPK, k1=K1, b=B)
     return hits.select(
         "qid",
@@ -1058,6 +1127,133 @@ scored AS (
     CROSS JOIN stats s
   )
   GROUP BY qid, doc_id
+)
+SELECT qid, doc_id, rank, round(score, 4) AS score
+FROM (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank,
+         score
+  FROM scored
+)
+WHERE rank <= {TOPK}
+"""
+
+
+def _fr_values_clause() -> str:
+    """(qid, term) VALUES for the fr queries, pre-analyzed by the same
+    chain (constants, like every gate's queries; the DOCUMENT side is
+    what the SQL recomputes)."""
+    from ..analysis.multilingual import fr_analyze
+
+    rows = []
+    for qid, text in FR_QUERIES:
+        for t in fr_analyze(text):
+            rows.append(f"({qid}, '{t}')")
+    return ", ".join(rows)
+
+
+def _fr_bm25_oracle(k1: float, b: float) -> str:
+    """Accurate BM25 over the fr-derived corpus with the FrenchAnalyzer
+    chain recomputed in pure SQL. The stemmer steps mirror
+    ``fr_minimal_stem`` exactly: sub-6-char words unchanged; -x with
+    -aux -> -al else drop x (terminal); else sequential s, r, e, é
+    strips then doubled-final-letter collapse (lateral column aliases
+    carry each step)."""
+    from ..analysis.multilingual import (FRENCH_ELISION_ARTICLES,
+                                         FRENCH_STOP_WORDS)
+
+    m_values = ", ".join(f"('{k}', '{v.replace(chr(39), chr(39) * 2)}')"
+                         for k, v in sorted(FR_MAP.items()))
+    arts = "|".join(sorted(FRENCH_ELISION_ARTICLES, key=len,
+                           reverse=True))
+    stops = ", ".join(f"'{w}'" for w in sorted(FRENCH_STOP_WORDS))
+    return f"""
+WITH m(word, fr) AS (VALUES {m_values}),
+docs AS (
+  SELECT doc_id, text FROM documents
+  WHERE lang = 'fr' AND text IS NOT NULL AND trim(text) <> ''
+),
+rawtok AS (
+  SELECT doc_id, t.term
+  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM docs) t
+  WHERE t.term <> ''
+),
+mapped AS (
+  SELECT r.doc_id, coalesce(m.fr, r.term) AS w0
+  FROM rawtok r LEFT JOIN m ON m.word = r.term
+),
+-- elision -> lowercase -> stop
+clean AS (
+  SELECT doc_id,
+         lower(regexp_replace(w0, '^(?i)({arts})''', '')) AS w
+  FROM mapped
+),
+kept AS (
+  SELECT doc_id, w FROM clean
+  WHERE w <> '' AND w NOT IN ({stops})
+),
+-- Savoy minimal stemmer, one step per lateral alias
+stemmed AS (
+  SELECT doc_id,
+    CASE
+      WHEN length(w) < 6 THEN w
+      WHEN right(w, 1) = 'x' THEN
+        CASE WHEN right(w, 3) = 'aux'
+             THEN substr(w, 1, length(w) - 2) || 'l'
+             ELSE substr(w, 1, length(w) - 1) END
+      ELSE NULL
+    END AS done,
+    CASE WHEN length(w) >= 6 AND right(w, 1) <> 'x' THEN w END AS c0
+  FROM kept
+),
+chain AS (
+  SELECT doc_id, done,
+    CASE WHEN right(c0, 1) = 's'
+         THEN substr(c0, 1, length(c0) - 1) ELSE c0 END AS c1,
+    CASE WHEN right(c1, 1) = 'r'
+         THEN substr(c1, 1, length(c1) - 1) ELSE c1 END AS c2,
+    CASE WHEN right(c2, 1) = 'e'
+         THEN substr(c2, 1, length(c2) - 1) ELSE c2 END AS c3,
+    CASE WHEN right(c3, 1) = 'é'
+         THEN substr(c3, 1, length(c3) - 1) ELSE c3 END AS c4,
+    CASE WHEN length(c4) > 1
+              AND right(c4, 1) = substr(c4, length(c4) - 1, 1)
+         THEN substr(c4, 1, length(c4) - 1) ELSE c4 END AS c5
+  FROM stemmed
+),
+tok AS (SELECT doc_id, coalesce(done, c5) AS term FROM chain),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, term
+),
+dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS doclen
+  FROM tok GROUP BY doc_id
+),
+q(qid, term) AS (VALUES {_fr_values_clause()}),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(doclen) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+),
+dfreq AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS dfreq FROM tf
+  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term
+),
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         sum(
+           ln(1.0 + (s.n - d.dfreq + 0.5) / (d.dfreq + 0.5))
+           * CAST(tf.tf AS DOUBLE)
+           / (CAST(tf.tf AS DOUBLE) + {k1 * (1 - b)!r}
+              + {k1 * b!r} / s.avgdl * CAST(dl.doclen AS DOUBLE))
+         ) AS score
+  FROM q
+  JOIN dfreq d ON q.term = d.term
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.qid, tf.doc_id
 )
 SELECT qid, doc_id, rank, round(score, 4) AS score
 FROM (
@@ -1816,6 +2012,7 @@ def oracle_sqls() -> dict[str, str]:
         "inl2_index_topk": _with_tie_adjust(_inl2_oracle(INL2_C)),
         "spl_index_topk": _with_tie_adjust(_spl_oracle(SPL_C)),
         "zh_bm25_topk": _with_tie_adjust(_zh_bm25_oracle(K1, B)),
+        "fr_bm25_topk": _with_tie_adjust(_fr_bm25_oracle(K1, B)),
         "sdm_topk": _with_tie_adjust(_sdm_oracle(K1, B)),
         "rm3_topk": _with_tie_adjust(
             _rm3_oracle(K1, B, RM3_FB_DOCS, RM3_FB_TERMS, RM3_ALPHA,
