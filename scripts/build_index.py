@@ -25,16 +25,21 @@ def main() -> None:
                          "files when --collection is set")
     ap.add_argument("--collection", default="parquet",
                     choices=["parquet", "trec", "cleantrec", "trecweb", "warc",
-                             "json"],
+                             "json", "tweet"],
                     help="input format (-collection analogue: "
                          "TrecCollection/TrecwebCollection/ClueWeb/"
-                         "JsonCollection)")
+                         "JsonCollection/TweetCollection)")
     ap.add_argument("--out", required=True)
     ap.add_argument("--partitions", type=int, default=32)
     ap.add_argument("--block-partitions", type=int, default=None)
     ap.add_argument("--analyzer", default="porter",
-                    choices=["porter", "krovetz", "none", "ws"])
-    ap.add_argument("--lang", default="en")
+                    choices=["porter", "krovetz", "none", "ws",
+                             "cjk", "fr", "tweet"],
+                    help="cjk/fr are the -language zh/fr analyzer "
+                         "chains; tweet is TweetAnalyzer")
+    ap.add_argument("--lang", default="en",
+                    help="corpus lang filter; pass 'all' to keep "
+                         "every language")
     ap.add_argument("--keep-stopwords", action="store_true")
     ap.add_argument("--from-html", action="store_true",
                     help="index from the html column (runs the HTML->text "
@@ -101,6 +106,10 @@ def main() -> None:
 
         corpus = warc_corpus(spark, args.corpus).select(
             F.col("docid").alias("url"), "text", "lang")
+    elif args.collection == "tweet":
+        from anserini_spark.corpus.tweet_ingest import tweet_corpus
+
+        corpus = tweet_corpus(spark, args.corpus)
     else:  # json
         from anserini_spark.corpus.json_ingest import read_json_collection
 
