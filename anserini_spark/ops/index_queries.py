@@ -173,11 +173,20 @@ def _gate_index(spark: SparkSession, sf_dir: str,
     ).collect()[0]
     from ..index.build import SEG_SHIFT
 
+    # the zh/fr tags carry the chain's analysis_version so a future
+    # analyzer change rebuilds a fresh dir instead of tripping the
+    # version gate on a stale /tmp cache from an earlier engine
+    av = ""
+    if zh or fr:
+        from ..analysis.analyzer import analysis_version
+
+        av = "_" + analysis_version("cjk" if zh else "fr").replace(
+            ".", "_")
     tag = (f"{os.path.basename(os.path.normpath(sf_dir))}"
            f"_{fp['n']}_{fp['m']}_{(fp['h'] or 0) & 0xFFFFFFFFFFFF:x}"
            f"_s{SEG_SHIFT}{'_pos' if positions else ''}"
            f"{'_big' if bigram else ''}"
-           f"{'_zh' if zh else ''}{'_fr' if fr else ''}"
+           f"{'_zh' if zh else ''}{'_fr' if fr else ''}{av}"
            f"{f'_sl{slice_part}' if slice_part else ''}"
            f"{f'_{variant}' if variant else ''}")
     out_dir = f"/tmp/anserini_gate_idx_{tag}"
