@@ -5,12 +5,12 @@ Semantics per the reference:
 
 1. Reranking pool: the top ``r`` first-pass docs plus deterministic
    seeded picks from the whole index until the pool holds ``r * n``
-   docs (`AxiomReranker.selectDocs:307-351`). The reference caches
-   every docid driver-side and draws with ``Random(seed)``; here the
-   extra picks are the ``xxhash64(url, seed)``-smallest urls — a
-   distributed TakeOrdered instead of an all-docids driver cache, the
-   Spark-native equivalent of "seeded arbitrary-but-reproducible
-   sample" (same protocol, different — but pinned — stream).
+   docs (`AxiomReranker.selectDocs:307-351`). Two modes (``pool=``):
+   "hash" — the extra picks are the ``xxhash64(url, seed)``-smallest
+   urls, a distributed TakeOrdered instead of an all-docids driver
+   cache (the Spark-native scale mode); "random" — the reference's
+   own protocol: the ascending docid list sampled with a bit-exact
+   ``java.util.Random(seed)`` (`util/javarandom.py`), round 6.
 2. Pool inverted lists: term -> set(pool docs) from the docvecs,
    keeping only terms matching ``[a-z]{2,}``
    (`AxiomReranker.extractTerms:353-398` noise heuristic).
@@ -71,17 +71,45 @@ def _mutual_information(x: Set[str], y: Set[str], total: int) -> float:
 
 
 def _select_pool(index: InvertedIndex, first_pass: DataFrame,
-                 qids: List[int], r: int, n: int,
-                 seed: int) -> Dict[int, List[str]]:
-    """qid -> pool urls: top-r first-pass docs + deterministic
-    hash-ordered picks from the whole index up to r*n."""
+                 qids: List[int], r: int, n: int, seed: int,
+                 pool: str = "hash") -> Dict[int, List[str]]:
+    """qid -> pool urls: top-r first-pass docs + deterministic extra
+    picks from the whole index up to r*n.
+
+    ``pool="hash"`` (default, the gate-pinned mode): extras are the
+    xxhash64(url, seed)-smallest urls — one distributed TakeOrdered
+    serves every query, nothing corpus-sized reaches the driver.
+
+    ``pool="random"``: the reference's seeded mode
+    (`AxiomReranker.java:326-338`): the docid list sorted ascending
+    (BREAK_SCORE_TIES_BY_DOCID order) is sampled with a FRESH
+    ``java.util.Random(seed)`` per query — bit-exact LCG in
+    `util/javarandom.py` — drawing until the pool reaches r*n
+    (collisions with already-present docs consume a draw, exactly the
+    reference's Set.add loop). Like the reference's
+    internalDocidsCache this materializes every docid driver-side;
+    it is the fidelity mode, not the scale mode."""
     top = first_pass.filter(F.col("rank") <= r).select(
         "qid", "rank", F.col("docid").alias("url")).collect()
     pools: Dict[int, List[str]] = defaultdict(list)
     for row in sorted(top, key=lambda t: (t["qid"], t["rank"])):
         pools[row["qid"]].append(row["url"])
     target = r * n
-    if n > 1:
+    if n > 1 and pool == "random":
+        from ..util.javarandom import JavaRandom
+
+        all_urls = [row["url"] for row in
+                    index.live_docvec.select("url").orderBy("url")
+                    .collect()]
+        for qid in qids:
+            rng = JavaRandom(seed)
+            have = set(pools[qid])
+            while len(have) < min(target, len(all_urls)):
+                url = all_urls[rng.next_int(len(all_urls))]
+                if url not in have:
+                    have.add(url)
+                    pools[qid].append(url)
+    elif n > 1:
         # one distributed TakeOrdered serves every query's extra picks
         # (the reference reuses one seeded stream per query too)
         extras = [
@@ -110,12 +138,15 @@ def axiom_boosts(
     beta: float = 0.4,
     m: int = 20,
     seed: int = 42,
+    pool: str = "hash",
 ) -> Dict[int, Dict[str, float]]:
     """Expanded weighted queries (qid -> term -> weight), reference
     defaults r=20 n=2 beta=0.4 top=20 seed=42 (`SearchArgs.java`
-    axiom block)."""
+    axiom block). ``pool`` picks the extra-doc selection: "hash"
+    (scale mode) or "random" (the reference's java.util.Random seeded
+    mode, see ``_select_pool``)."""
     qids = sorted(queries)
-    pools = _select_pool(index, first_pass, qids, r, n, seed)
+    pools = _select_pool(index, first_pass, qids, r, n, seed, pool=pool)
     all_urls = sorted({u for p in pools.values() for u in p})
     if not all_urls:
         return {}
@@ -195,12 +226,13 @@ def search_axiom(
     beta: float = 0.4,
     m: int = 20,
     seed: int = 42,
+    pool: str = "hash",
 ) -> Tuple[DataFrame, Dict[int, Dict[str, float]]]:
     """Full axiomatic cascade: first pass -> deterministic pool ->
     MI expansion -> boosted re-search. Returns (hits, boosts)."""
     first = search_kernel(index, queries, params)
     boosts = axiom_boosts(index, queries, first, r=r, n=n, beta=beta,
-                          m=m, seed=seed)
+                          m=m, seed=seed, pool=pool)
     # queries with no usable expansion fall back to the original text
     hits = search_kernel(index, queries, params, boosts=boosts or None)
     return hits, boosts

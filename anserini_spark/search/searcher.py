@@ -806,7 +806,7 @@ class SimpleSearcher:
         self.params = BM25Params(k1=k1, b=b, lossy=lossy)
         self.engine = engine
         self._rm3: Optional[Tuple[int, int, float]] = None
-        self._axiom: Optional[Tuple[int, int, float, int, int]] = None
+        self._axiom: Optional[Tuple[int, int, float, int, int, str]] = None
         self._qld_mu: Optional[float] = None
 
     def set_bm25(self, k1: float, b: float) -> None:
@@ -832,10 +832,13 @@ class SimpleSearcher:
         self._rm3 = None
 
     def set_axiom(self, r: int = 20, n: int = 2, beta: float = 0.4,
-                  m: int = 20, seed: int = 42) -> None:
+                  m: int = 20, seed: int = 42,
+                  pool: str = "hash") -> None:
         """Enable the deterministic axiomatic reranker
-        (`SearchArgs.java` -axiom block analogue; see axiom.py)."""
-        self._axiom = (r, n, beta, m, seed)
+        (`SearchArgs.java` -axiom block analogue; see axiom.py).
+        ``pool="random"`` selects the reference's java.util.Random
+        seeded pool protocol instead of the hash-ordered scale mode."""
+        self._axiom = (r, n, beta, m, seed, pool)
 
     def unset_axiom(self) -> None:
         self._axiom = None
@@ -883,9 +886,9 @@ class SimpleSearcher:
         if self._axiom is not None:
             from .axiom import search_axiom
 
-            r, n, beta, m, seed = self._axiom
+            r, n, beta, m, seed, pool = self._axiom
             hits, _ = search_axiom(self.index, queries, params, r=r, n=n,
-                                   beta=beta, m=m, seed=seed)
+                                   beta=beta, m=m, seed=seed, pool=pool)
             return hits
         if self._rm3 is not None:
             from .rm3 import search_rm3
