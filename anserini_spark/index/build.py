@@ -78,6 +78,12 @@ _POSITIONS_FIELD = T.StructField(
 # SimpleSearcher.doc(docid) can return stored contents
 _CONTENTS_FIELD = T.StructField("contents", T.StringType(), True)
 
+# publication-timestamp passthrough (the reference's stored
+# PUBLISHED_DATE / tweet epoch fields): rides the docvec when
+# ``store_timestamps=True`` so date-aware search paths (background
+# linking's date filter) can consult it at query time
+_TS_FIELD = T.StructField("warc_ts", T.TimestampType(), True)
+
 DOCVEC_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
@@ -91,12 +97,15 @@ DOCVEC_SCHEMA = T.StructType(
 
 
 def docvec_schema(store_positions: bool,
-                  store_contents: bool = False) -> T.StructType:
+                  store_contents: bool = False,
+                  store_timestamps: bool = False) -> T.StructType:
     fields = list(DOCVEC_SCHEMA.fields)
     if store_positions:
         fields.append(_POSITIONS_FIELD)
     if store_contents:
         fields.append(_CONTENTS_FIELD)
+    if store_timestamps:
+        fields.append(_TS_FIELD)
     return T.StructType(fields)
 
 BLOCKS_SCHEMA = T.StructType(
@@ -145,6 +154,10 @@ class IndexConfig:
     store_contents: bool = False      # -storeContents analogue: docvec
                                       # carries the extracted text for
                                       # SimpleSearcher.doc()
+    store_timestamps: bool = False    # docvec carries warc_ts (the
+                                      # PUBLISHED_DATE / tweet-epoch
+                                      # stored-field analogue) for
+                                      # date-aware search paths
     extra: dict = field(default_factory=dict)
 
 
@@ -170,12 +183,15 @@ ANALYZED_SCHEMA = T.StructType(
 
 
 def analyzed_schema(store_positions: bool,
-                    store_contents: bool = False) -> T.StructType:
+                    store_contents: bool = False,
+                    store_timestamps: bool = False) -> T.StructType:
     fields = list(ANALYZED_SCHEMA.fields)
     if store_positions:
         fields.append(_POSITIONS_FIELD)
     if store_contents:
         fields.append(_CONTENTS_FIELD)
+    if store_timestamps:
+        fields.append(_TS_FIELD)
     return T.StructType(fields)
 
 
@@ -196,6 +212,7 @@ def _analyze_kernel(cfg: IndexConfig):
         stem = stem_mode(cfg.analyzer)
 
     store_contents = cfg.store_contents
+    store_ts = cfg.store_timestamps
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -204,10 +221,13 @@ def _analyze_kernel(cfg: IndexConfig):
                 out["positions"] = []
             if store_contents:
                 out["contents"] = []
+            if store_ts:
+                out["warc_ts"] = []
             # vectorized batch extraction (arrow/re2 passes with
             # row-wise fallback; see extraction/html2text.py round 4)
             texts = extract_series(b["html"]) if from_html else b["text"]
-            for url, text in zip(b["url"], texts):
+            tss = b["warc_ts"] if store_ts else None
+            for i, (url, text) in enumerate(zip(b["url"], texts)):
                 if from_html and (not text or not text.strip()):
                     # empty-doc filter post-extraction
                     # (DefaultLuceneDocumentGenerator.java:64-66)
@@ -236,6 +256,8 @@ def _analyze_kernel(cfg: IndexConfig):
                 out["tfs"].append(tfs)
                 if store_contents:
                     out["contents"].append(text or "")
+                if store_ts:
+                    out["warc_ts"].append(tss.iloc[i])
             if out["url"]:
                 yield pd.DataFrame(out)
 
@@ -474,13 +496,22 @@ def build_index(spark: SparkSession, corpus: DataFrame, cfg: IndexConfig,
             other_cols.append("positions")
         if cfg.store_contents:
             other_cols.append("contents")
+        if cfg.store_timestamps:
+            if "warc_ts" not in corpus.columns:
+                raise ValueError(
+                    "store_timestamps=True needs a warc_ts column in "
+                    "the corpus table")
+            other_cols.append("warc_ts")
         if pre_analyzed:
             # already-tokenized rows: lang/empty-text filtering happened
             # at tokenize time; keep the empty-doc invariant on doclen
             df = corpus.select("url", *other_cols).filter(
                 F.col("doclen") > 0)
         else:
-            df = corpus.select("url", src, "lang")
+            cols = ["url", src, "lang"]
+            if cfg.store_timestamps:
+                cols.append("warc_ts")
+            df = corpus.select(*cols)
             if cfg.lang is not None:
                 df = df.filter(F.col("lang") == cfg.lang)
             if src == "text":
@@ -511,10 +542,13 @@ def build_index(spark: SparkSession, corpus: DataFrame, cfg: IndexConfig,
         # within-partition url sort. The analyzed arrays never take a
         # second JVM->python round trip (was ~20% of the stage wall).
         if not pre_analyzed:
-            df = df.select("url", src).mapInPandas(
+            kcols = ["url", src] + (
+                ["warc_ts"] if cfg.store_timestamps else [])
+            df = df.select(*kcols).mapInPandas(
                 _analyze_kernel(cfg),
                 schema=analyzed_schema(cfg.store_positions,
-                                       cfg.store_contents))
+                                       cfg.store_contents,
+                                       cfg.store_timestamps))
         df = (
             df.repartition(cfg.doc_partitions, "url")
             .groupBy("url")
