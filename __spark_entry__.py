@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spl_index_topk": iq.spl_index_topk,
         "zh_bm25_topk": iq.zh_bm25_topk,
         "fr_bm25_topk": iq.fr_bm25_topk,
+        "bgl_query_terms": iq.bgl_query_terms,
         "sdm_topk": iq.sdm_topk,
         "rm3_topk": iq.rm3_topk,
         "bm25prf_topk": iq.bm25prf_topk,

@@ -498,6 +498,63 @@ def zh_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "rank")
 
 
+BGL_K = 10
+BGL_QUERY_DOCS = [0, 3, 7, 11, 19, 23, 42, 57]
+
+
+def bgl_query_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Background-linking query generation through the REAL index
+    (`topicreader/BackgroundLinkingTopicReader.java:150-182`): for
+    each fixed query docid, the top-10 terms by tf-idf
+    (tf * ln((1+N)/df), float division — unlike axiom's integer idf),
+    ties by case-insensitive term order. The oracle recomputes tf, df
+    and the ranking in pure SQL over the same documents table."""
+    from ..search.background import background_query
+
+    idx = InvertedIndex(spark, _gate_index(spark, sf_dir))
+    rows = []
+    for d in BGL_QUERY_DOCS:
+        docid = f"{d:020d}"
+        try:
+            q = background_query(idx, docid, k=BGL_K)
+        except ValueError:
+            continue
+        ranked = sorted(q.items(), key=lambda kv: (-kv[1], kv[0].lower()))
+        for i, (t, w) in enumerate(ranked, start=1):
+            rows.append((d, t, i, round(w, 4)))
+    return spark.createDataFrame(
+        rows, "qid int, term string, rank int, weight double"
+    ).orderBy("qid", "rank")
+
+
+def _bgl_oracle() -> str:
+    docs_in = ", ".join(str(d) for d in BGL_QUERY_DOCS)
+    return f"""
+WITH {_TOK_CTE},
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM dl),
+dfreq AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS dfreq FROM tf GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id AS qid, tf.term,
+         CAST(tf.tf AS DOUBLE) * ln((1.0 + s.n) / d.dfreq) AS w
+  FROM tf
+  JOIN dfreq d ON d.term = tf.term
+  CROSS JOIN stats s
+  WHERE tf.doc_id IN ({docs_in})
+    AND length(tf.term) >= 2 AND regexp_matches(tf.term, '^[a-z]+$')
+)
+SELECT CAST(qid AS INT) AS qid, term, rank, round(w, 4) AS weight
+FROM (
+  SELECT qid, term, w,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY w DESC, lower(term)) AS rank
+  FROM scored
+)
+WHERE rank <= {BGL_K}
+"""
+
+
 def fr_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-query BM25 over the French-derived corpus through the
     FrenchAnalyzer chain shape (`analysis/multilingual.py`: elision ->
@@ -2022,6 +2079,8 @@ def oracle_sqls() -> dict[str, str]:
         "spl_index_topk": _with_tie_adjust(_spl_oracle(SPL_C)),
         "zh_bm25_topk": _with_tie_adjust(_zh_bm25_oracle(K1, B)),
         "fr_bm25_topk": _with_tie_adjust(_fr_bm25_oracle(K1, B)),
+        # already-rounded weights in a pinned order — no tie transform
+        "bgl_query_terms": _bgl_oracle(),
         "sdm_topk": _with_tie_adjust(_sdm_oracle(K1, B)),
         "rm3_topk": _with_tie_adjust(
             _rm3_oracle(K1, B, RM3_FB_DOCS, RM3_FB_TERMS, RM3_ALPHA,
