@@ -104,6 +104,22 @@ def read_microblog_topics(path: str) -> Dict[int, str]:
     return topics
 
 
+def read_microblog_times(path: str) -> Dict[int, int]:
+    """qid -> ``<querytweettime>`` (the chronologically-nearest tweet
+    id) from a microblog topic file — the per-query upper bound
+    ``search/tweets.search_tweets`` filters on
+    (`SearchCollection.java:577-580`)."""
+    text = _open(path).read()
+    times: Dict[int, int] = {}
+    for block in re.findall(r"<top>(.*?)</top>", text, re.DOTALL):
+        m = re.search(r"<num>\s*Number:\s*MB(\d+)\s*</num>", block)
+        t = re.search(r"<querytweettime>\s*(\d+)\s*</querytweettime>",
+                      block)
+        if m and t:
+            times[int(m.group(1))] = int(t.group(1))
+    return times
+
+
 def read_tsv_int_topics(path: str) -> Dict[int, str]:
     """`TsvIntTopicReader.java:46-60`: ``qid\\tquery``, int qids."""
     topics: Dict[int, str] = {}

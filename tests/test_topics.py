@@ -174,3 +174,25 @@ def test_bom_and_mixed_encoding(tmp_path):
     got = read_topics(str(latin))
     assert list(got) == [12]
     assert got[12].startswith("caf") and got[12].endswith(" au lait")
+
+
+def test_microblog_querytweettime():
+    """<querytweettime> extraction feeding search_tweets' range
+    filter, on the reference's own 2011 topic file."""
+    import os
+
+    from anserini_spark.io.topics import (read_microblog_times,
+                                          read_microblog_topics)
+
+    path = ("/root/reference/src/main/resources/topics-and-qrels/"
+            "topics.microblog2011.txt")
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("reference checkout not present")
+    topics = read_microblog_topics(path)
+    times = read_microblog_times(path)
+    assert set(times) == set(topics)
+    assert times[1] == 34952194402811904
+    assert times[2] == 35048150574039040
+    assert all(t > 0 for t in times.values())
