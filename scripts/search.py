@@ -23,7 +23,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", required=True)
     ap.add_argument("--topics", required=True, help="topics file")
-    ap.add_argument("--topicreader", default="tsv", choices=["tsv", "trec"])
+    ap.add_argument("--topicreader", default="tsv",
+                    choices=["tsv", "trec", "microblog"])
+    ap.add_argument("--searchtweets", action="store_true",
+                    help="microblog semantics: per-query "
+                         "querytweettime range filter + (score desc, "
+                         "id_long desc) tie order "
+                         "(-searchtweets analogue)")
     ap.add_argument("--output", required=True)
     ap.add_argument("--format", default="trec", choices=["trec", "msmarco"])
     ap.add_argument("--hits", type=int, default=1000)
@@ -58,12 +64,31 @@ def main() -> None:
         from anserini_spark.io.runs import read_trec_topics
 
         topics = read_trec_topics(args.topics)
+    elif args.topicreader == "microblog":
+        from anserini_spark.io.topics import read_microblog_topics
+
+        topics = read_microblog_topics(args.topics)
     else:
         topics = read_topics_tsv(spark, args.topics)
 
     # comma-separated dirs = unmerged slices (MultiSliceIndex)
     index = (args.index.split(",") if "," in args.index else args.index)
-    if args.similarity in ("bm25", "bm25accurate"):
+    if args.searchtweets:
+        from anserini_spark.io.topics import read_microblog_times
+        from anserini_spark.search.bm25 import BM25Params
+        from anserini_spark.search.searcher import InvertedIndex
+        from anserini_spark.search.tweets import search_tweets
+
+        times = read_microblog_times(args.topics)
+        missing = sorted(set(topics) - set(times))
+        if missing:
+            raise ValueError(
+                f"topics without <querytweettime>: {missing[:5]} — "
+                "the tweet range filter needs one per query")
+        idx = InvertedIndex(spark, index)
+        hits = search_tweets(idx, topics, times,
+                             BM25Params(k1=k1, b=b, k=args.hits))
+    elif args.similarity in ("bm25", "bm25accurate"):
         searcher = SimpleSearcher(spark, index, k1=k1, b=b,
                                   engine=args.engine,
                                   lossy=args.similarity == "bm25")
