@@ -40,7 +40,9 @@ pairs being featurized.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from typing import Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .corpus_queries import (
@@ -125,18 +127,106 @@ def ltr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(tfidf).alias("f_tfidf"),
         )
     )
+    # ordered/unordered window counts over consecutive query-term
+    # pairs (`ltr/feature/*OrderedSequentialPairs*` territory; window
+    # 8, the SDM unordered width): ordered = 1 <= Δpos <= 8,
+    # unordered = Δ != 0 and |Δ| <= 8, summed over a query's pairs.
+    # Docs matching no pair get 0 (LEFT JOIN + coalesce).
+    pair_rows = []
+    qmap: Dict[int, list] = {}
+    for qid, term in FIXED_QUERIES:
+        qmap.setdefault(qid, []).append(term)
+    for qid, toks in qmap.items():
+        for i in range(len(toks) - 1):
+            pair_rows.append((qid, i, toks[i], toks[i + 1]))
+    win = None
+    if pair_rows:
+        qp = spark.createDataFrame(
+            pair_rows, "qid int, pid int, term_a string, term_b string")
+        tokp = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.col("text").isNotNull()
+                    & (F.trim("text") != ""))
+            .select("doc_id", F.posexplode(F.split("text", " "))
+                    .alias("rawpos", "term"))
+            .filter(F.col("term") != "")
+            .withColumn(
+                "pos",
+                F.row_number().over(
+                    Window.partitionBy("doc_id").orderBy("rawpos")) - 1)
+            .select("doc_id", "term", "pos")
+        )
+        a = tokp.alias("a")
+        b = tokp.alias("b")
+        delta = F.col("b.pos") - F.col("a.pos")
+        win = (
+            a.join(F.broadcast(qp), F.col("a.term") == F.col("term_a"))
+            .join(b, (F.col("b.doc_id") == F.col("a.doc_id"))
+                  & (F.col("b.term") == F.col("term_b")))
+            .groupBy("qid", F.col("a.doc_id").alias("doc_id"))
+            .agg(
+                F.sum(F.when(delta.between(1, 8), 1).otherwise(0))
+                .cast("double").alias("f_ordered_w8"),
+                F.sum(F.when((delta != 0) & (F.abs(delta) <= 8), 1)
+                      .otherwise(0))
+                .cast("double").alias("f_unordered_w8"),
+            )
+        )
     out = pair.join(F.broadcast(qfeat), "qid")
+    if win is not None:
+        out = out.join(win, ["qid", "doc_id"], "left")
+    else:
+        out = out.withColumn("f_ordered_w8", F.lit(None)) \
+                 .withColumn("f_unordered_w8", F.lit(None))
+    out = out.withColumn("f_ordered_w8",
+                         F.coalesce("f_ordered_w8", F.lit(0.0))) \
+             .withColumn("f_unordered_w8",
+                         F.coalesce("f_unordered_w8", F.lit(0.0)))
     r4 = [F.round(c, 4).alias(c) for c in (
         "f_matching_terms", "f_doc_len", "f_sum_matching_tf",
         "f_bm25", "f_tfidf", "f_query_len", "f_query_uniq",
-        "f_avg_idf", "f_avg_ictf", "f_scs", "f_scq_avg", "f_scq_max")]
+        "f_avg_idf", "f_avg_ictf", "f_scs", "f_scq_avg", "f_scq_max",
+        "f_ordered_w8", "f_unordered_w8")]
     return out.select("qid", "doc_id", *r4).orderBy("qid", "doc_id")
+
+
+def _pair_values() -> str:
+    qmap: Dict[int, list] = {}
+    for qid, term in FIXED_QUERIES:
+        qmap.setdefault(qid, []).append(term)
+    rows = []
+    for qid, toks in qmap.items():
+        for i in range(len(toks) - 1):
+            rows.append(f"({qid}, {i}, '{toks[i]}', '{toks[i + 1]}')")
+    return ", ".join(rows)
 
 
 def oracle_sqls() -> dict[str, str]:
     return {
         "ltr_features": f"""
 WITH {_TOK_CTE},
+tokp AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY rawpos) - 1 AS pos
+  FROM (
+    SELECT doc_id, unnest(str_split(text, ' ')) AS term,
+           generate_subscripts(str_split(text, ' '), 1) AS rawpos
+    FROM docs
+  )
+  WHERE term <> ''
+),
+qp(qid, pid, term_a, term_b) AS (VALUES {_pair_values()}),
+win AS (
+  SELECT qp.qid, a.doc_id,
+         CAST(sum(CASE WHEN b.pos - a.pos BETWEEN 1 AND 8
+                       THEN 1 ELSE 0 END) AS DOUBLE) AS f_ordered_w8,
+         CAST(sum(CASE WHEN b.pos <> a.pos AND abs(b.pos - a.pos) <= 8
+                       THEN 1 ELSE 0 END) AS DOUBLE) AS f_unordered_w8
+  FROM qp
+  JOIN tokp a ON a.term = qp.term_a
+  JOIN tokp b ON b.term = qp.term_b AND b.doc_id = a.doc_id
+  GROUP BY qp.qid, a.doc_id
+),
 q(qid, term) AS (VALUES {_values_clause()}),
 qterm AS (
   SELECT qid, term, CAST(count(*) AS DOUBLE) AS qtf
@@ -207,7 +297,11 @@ SELECT p.qid, p.doc_id,
        round(f.f_avg_ictf, 4) AS f_avg_ictf,
        round(f.f_scs, 4) AS f_scs,
        round(f.f_scq_avg, 4) AS f_scq_avg,
-       round(f.f_scq_max, 4) AS f_scq_max
-FROM pair p JOIN qfeat f ON f.qid = p.qid
+       round(f.f_scq_max, 4) AS f_scq_max,
+       round(coalesce(w.f_ordered_w8, 0.0), 4) AS f_ordered_w8,
+       round(coalesce(w.f_unordered_w8, 0.0), 4) AS f_unordered_w8
+FROM pair p
+JOIN qfeat f ON f.qid = p.qid
+LEFT JOIN win w ON w.qid = p.qid AND w.doc_id = p.doc_id
 """,
     }

@@ -74,3 +74,20 @@ def test_ltr_plan_broadcasts_dimensions(spark, tiny_sf):
     plan = ltr_features(spark, tiny_sf)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_ltr_window_features(spark, tiny_sf):
+    """Ordered/unordered window-8 counts over consecutive query-term
+    pairs: doc 0 = 'spark join spark' vs qid 1 = 'spark join'."""
+    from anserini_spark.ops.ltr import ltr_features
+
+    feats = {(r["qid"], r["doc_id"]): r.asDict()
+             for r in ltr_features(spark, tiny_sf).collect()}
+    f = feats[(1, 0)]
+    # pair (spark, join): spark@0 -> join@1 (Δ=1), spark@2 -> join@1
+    # (Δ=-1): ordered counts only Δ in [1,8] = 1; unordered both = 2
+    assert f["f_ordered_w8"] == 1.0
+    assert f["f_unordered_w8"] == 2.0
+    # doc 1 = 'join window' has no (spark, join) pair occurrence
+    assert feats[(1, 1)]["f_ordered_w8"] == 0.0
+    assert feats[(1, 1)]["f_unordered_w8"] == 0.0
