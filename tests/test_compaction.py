@@ -107,3 +107,36 @@ def test_coalescing_merge_bounds_segment_count(spark, five_slices):
     assert len(segs) <= 3
     assert _hits(MultiSliceIndex(spark, out)) == \
         _hits(InvertedIndex(spark, mono))
+
+
+def test_compact_plans_on_live_size(spark, tmp_path):
+    """stats.json num_docs still counts tombstoned docs; the planner
+    must size slices by LIVE docs so a heavily-deleted large slice is
+    correctly treated as small (round-6 advice fix)."""
+    from anserini_spark.index.tombstones import add_tombstones
+
+    corpus = web_corpus(spark, "/root/testdata/sf0.001").limit(60)
+    rows = corpus.collect()
+    # slice A: 30 docs but 25 tombstoned (live 5); B: 10; C: 12 —
+    # live-size order is A(5) < B(10) < C(12); raw order B < C < A
+    bounds = [(0, 30), (30, 40), (40, 52)]
+    dirs = []
+    for i, (lo, hi) in enumerate(bounds):
+        d = str(tmp_path / f"s{i}")
+        sub = spark.createDataFrame(rows[lo:hi], corpus.schema)
+        build_index(spark, sub, IndexConfig(out_dir=d, doc_partitions=1,
+                                            block_partitions=1))
+        dirs.append(d)
+    dead = [r["url"] for r in rows[:25]]
+    add_tombstones(spark, dirs[0], dead)
+
+    # merge_factor 2, max 2: the two LIVE-smallest (A live=5, B=10)
+    # must merge; C survives untouched
+    out = compact(spark, dirs,
+                  IndexConfig(out_dir=str(tmp_path / "cmp"),
+                              doc_partitions=1, block_partitions=1),
+                  max_slices=2, merge_factor=2)
+    assert len(out) == 2
+    assert dirs[2] in out          # raw-largest-but-live-mid survives?
+    # C (12 live) is the largest by live size -> untouched
+    assert dirs[0] not in out and dirs[1] not in out
