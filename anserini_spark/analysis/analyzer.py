@@ -97,20 +97,41 @@ def analysis_version(analyzer: str) -> str:
         # activation maps, not the tokenizer chain, so the version
         # must not move when the chain/stop set/lexicon does
         return "impact1"
-    if analyzer in ("cjk", "fr"):
-        from . import multilingual as ml
+    if analyzer in ("cjk", "fr", "tweet"):
+        # hash the BEHAVIOR: rule-function sources + the data sets —
+        # a stemmer-rule or regex change must bump the version even
+        # when nobody touches the word lists (same contract as the
+        # krovetz branch hashing its lexicon data)
+        import inspect
 
-        data = (" ".join(sorted(ml.CJK_STOP_WORDS)) if analyzer == "cjk"
-                else " ".join(sorted(ml.FRENCH_STOP_WORDS))
-                + " ".join(sorted(ml.FRENCH_ELISION_ARTICLES)))
+        if analyzer == "cjk":
+            from . import multilingual as ml
+
+            data = (inspect.getsource(ml.cjk_analyze)
+                    + inspect.getsource(ml.fold_width)
+                    + ml._CJK_CLASS
+                    + " ".join(sorted(ml.CJK_STOP_WORDS)))
+        elif analyzer == "fr":
+            from . import multilingual as ml
+
+            data = (inspect.getsource(ml.fr_analyze)
+                    + inspect.getsource(ml.fr_minimal_stem)
+                    + inspect.getsource(ml._elide)
+                    + " ".join(sorted(ml.FRENCH_STOP_WORDS))
+                    + " ".join(sorted(ml.FRENCH_ELISION_ARTICLES)))
+        else:
+            from . import tweet as tw
+
+            data = (inspect.getsource(tw._process)
+                    + inspect.getsource(tw.tweet_analyze)
+                    + inspect.getsource(tw._is_nonentity_delim)
+                    + tw._URL_RE.pattern + tw._MENTION_RE.pattern
+                    + tw._HASHTAG_RE.pattern
+                    + "".join(sorted(tw._ENTITY_DELIMS))
+                    + "".join(sorted(tw._NONENTITY_DELIMS))
+                    + ".porter1")  # the chain's stem component
         h = hashlib.md5(data.encode()).hexdigest()[:8]
         return f"{analyzer}1.{h}"
-    if analyzer == "tweet":
-        from . import tweet as tw
-
-        data = ("".join(sorted(tw._ENTITY_DELIMS))
-                + "".join(sorted(tw._NONENTITY_DELIMS)))
-        return f"tweet1.{hashlib.md5(data.encode()).hexdigest()[:8]}"
     stop_h = hashlib.md5(
         " ".join(sorted(ENGLISH_STOP_WORDS)).encode()
     ).hexdigest()[:8]

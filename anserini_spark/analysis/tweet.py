@@ -84,13 +84,13 @@ def _process(tok: str):
     if ent == _URL:
         return tok, True, []
     if ent != _INVALID:
-        low = tok.lower()
-        if tok[0] in _ENTITY_DELIMS:
-            return low, True, []
-        for i, c in enumerate(low):  # sign mid-token: split before it
-            if c in _ENTITY_DELIMS:
-                return _scrub(low[:i]), False, [low[i:]]
-        return _scrub(low), False, []
+        # mention/hashtag regexes anchor the sign at position 0 (URLs
+        # returned above), so a full-match entity always starts with
+        # an entity delimiter: lowercase, keyword, done. (The Java
+        # filter re-scans for a mid-token sign because twitter-text's
+        # fuller regexes permit lookbehind context; ours cannot match
+        # that shape.)
+        return tok.lower(), True, []
 
     tails: List[str] = []
     head = tok

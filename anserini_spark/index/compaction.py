@@ -150,9 +150,17 @@ def compact(spark: SparkSession, slice_dirs: list[str], cfg: IndexConfig,
         if os.path.isdir(tomb):
             import pyarrow.dataset as _ds
 
-            dead_urls = _ds.dataset(tomb, format="parquet").to_table(
-                columns=["url"])["url"].to_pylist()
-            n = max(0, n - len(set(dead_urls)))
+            dead_urls = set(
+                _ds.dataset(tomb, format="parquet").to_table(
+                    columns=["url"])["url"].to_pylist())
+            # intersect with the slice's OWN urls: the delete CLI
+            # allows tombstoning docids that never existed (a no-op
+            # log entry), which must not deflate the live size
+            slice_urls = set(
+                _ds.dataset(os.path.join(d, "docvec.parquet"),
+                            format="parquet").to_table(
+                    columns=["url"])["url"].to_pylist())
+            n = max(0, n - len(dead_urls & slice_urls))
         sizes.append(n)
     plan = plan_compaction(sizes, max_slices, merge_factor)
     if not plan:

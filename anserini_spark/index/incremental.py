@@ -77,11 +77,14 @@ def fold_stream_slice(spark: SparkSession, stream_dir: str,
     total. ``cfg.analyzer`` must be the analyzer the stream was
     tokenized with (the manifest lineage is load-gated)."""
     rows = spark.read.parquet(stream_dir)
+    keep = ["url", "s.doclen", "s.terms", "s.tfs"]
+    if cfg.store_timestamps:
+        keep.append("s.warc_ts")  # ride the stored timestamp through
     latest = (
         rows.groupBy("url")
         .agg(F.max(F.struct("warc_ts", "doclen", "terms", "tfs"))
              .alias("s"))
-        .select("url", "s.doclen", "s.terms", "s.tfs")
+        .select(*keep)
     )
     return build_index(spark, latest, cfg, pre_analyzed=True)
 
@@ -120,6 +123,7 @@ def extend_index(spark: SparkSession, base_dir: str, stream_dir: str,
         block_partitions=cfg.block_partitions,
         store_positions=cfg.store_positions,
         store_contents=cfg.store_contents,
+        store_timestamps=cfg.store_timestamps,
     )
     fold_stream_slice(spark, stream_dir, slice_cfg)
     with open(fp_path, "w", encoding="utf-8") as fh:
@@ -151,6 +155,7 @@ def extend_index(spark: SparkSession, base_dir: str, stream_dir: str,
         block_partitions=cfg.block_partitions,
         store_positions=cfg.store_positions,
         store_contents=cfg.store_contents,
+        store_timestamps=cfg.store_timestamps,
     )
     man = merge_indexes(spark, [base_dir, slice_dir], merge_cfg)
     # the fold was only an input to the merge; removing it keeps a

@@ -108,6 +108,8 @@ def merge_indexes(spark: SparkSession, slice_dirs: list[str], cfg: IndexConfig) 
                 cols.append(F.col("positions"))
             if "contents" in dv.columns:  # -storeContents analogue
                 cols.append(F.col("contents"))
+            if "warc_ts" in dv.columns:  # store_timestamps analogue
+                cols.append(F.col("warc_ts"))
             parts.append(dv.select(*cols))
         if len(has_pos) > 1:
             raise ValueError(
@@ -116,7 +118,10 @@ def merge_indexes(spark: SparkSession, slice_dirs: list[str], cfg: IndexConfig) 
             )
         merged = parts[0]
         for p in parts[1:]:
-            merged = merged.unionByName(p)
+            # stored-field columns (contents/warc_ts) may be present
+            # on only some slices — missing ones fill with null;
+            # positional mixing stays a hard error (checked above)
+            merged = merged.unionByName(p, allowMissingColumns=True)
         merged.write.mode("overwrite").parquet(docvec_path)
         man.record(
             "merge_docvec",

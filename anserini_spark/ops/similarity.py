@@ -414,9 +414,12 @@ def ann_ivf_topk_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..index.ivf import IVFIndex, build_ivf_index
 
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    # content digest includes the VECTORS: regenerated embeddings with
+    # unchanged ids must not reuse a stale cached IVF index (same
+    # reason _gate_index hashes (doc_id, text))
     fp = e.agg(
         F.count("*").alias("n"),
-        F.bit_xor(F.xxhash64("vec_id")).alias("h"),
+        F.bit_xor(F.xxhash64("vec_id", "embedding")).alias("h"),
     ).collect()[0]
     tag = (f"{os.path.basename(os.path.normpath(sf_dir))}"
            f"_{fp['n']}_{(fp['h'] or 0) & 0xFFFFFFFFFFFF:x}_n{IVF_NLIST}")

@@ -167,9 +167,12 @@ def search_background_linking(
             ranked = [(h["docid"], float(h["score"])) for h in hits]
 
         # NewsBackgroundLinkingReranker: cosine dedup vs query doc +
-        # pairwise, earlier rank wins
+        # pairwise, earlier rank wins. One collect serves vectors AND
+        # candidate dates (when date-filtering).
         cand_ids = [d for d, _ in ranked]
-        vec_rows = (index.docvec.select("url", "terms", "tfs")
+        vcols = ["url", "terms", "tfs"] + (
+            ["warc_ts"] if date_filter else [])
+        vec_rows = (index.docvec.select(*vcols)
                     .filter(F.col("url").isin(cand_ids)).collect())
         vecs = {r["url"]: dict(zip(r["terms"], r["tfs"]))
                 for r in vec_rows}
@@ -186,12 +189,14 @@ def search_background_linking(
                 if _cosine(vecs.get(di, {}),
                            vecs.get(ranked[j][0], {})) >= dedup_cosine:
                     removed.add(j)
+        # Date filter AFTER cosine dedup — the reference's own order
+        # (`NewsBackgroundLinkingReranker.java:57-85`: the cosine
+        # toRemove set is computed first, then the date filter appends
+        # to it), so a future-dated hit can suppress an older near-dup
+        # before being removed itself, exactly as there.
         if date_filter and qdoc in dates and dates[qdoc] is not None:
             qdate = dates[qdoc]
-            cand_dates = {r["url"]: r["warc_ts"] for r in
-                          index.docvec.select("url", "warc_ts")
-                          .filter(F.col("url").isin(cand_ids)).collect()} \
-                if "warc_ts" in index.docvec.columns else {}
+            cand_dates = {r["url"]: r["warc_ts"] for r in vec_rows}
             for i, (di, _) in enumerate(ranked):
                 d = cand_dates.get(di)
                 if d is not None and d > qdate:

@@ -115,10 +115,13 @@ class MultiSliceIndex(InvertedIndex):
         """Opt-in guard for the url-disjointness invariant (one Spark
         job at open). Within a slice docvec holds one row per url
         (build-time dedup), so any url with union multiplicity > 1 is
-        a cross-slice overlap that would double-count stats/scores."""
+        a cross-slice overlap that would double-count stats/scores.
+        Uses live_docvec: a url superseded via tombstones (the
+        extend_index(supersede=True) pattern this error recommends)
+        is masked by the reader and therefore NOT an overlap."""
         dup = (
             reduce(DataFrame.unionByName,
-                   [s.docvec.select("url") for s in self.slices])
+                   [s.live_docvec.select("url") for s in self.slices])
             .groupBy("url").agg(F.count(F.lit(1)).alias("n"))
             .filter(F.col("n") > 1)
         )

@@ -85,7 +85,12 @@ def main() -> None:
             raise ValueError(
                 f"topics without <querytweettime>: {missing[:5]} — "
                 "the tweet range filter needs one per query")
-        idx = InvertedIndex(spark, index)
+        if isinstance(index, list):
+            from anserini_spark.search.multislice import MultiSliceIndex
+
+            idx = MultiSliceIndex(spark, index)
+        else:
+            idx = InvertedIndex(spark, index)
         hits = search_tweets(idx, topics, times,
                              BM25Params(k1=k1, b=b, k=args.hits))
     elif args.similarity in ("bm25", "bm25accurate"):

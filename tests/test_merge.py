@@ -104,3 +104,31 @@ def test_hierarchical_merge(spark, tmp_path):
     a = _rows(search_kernel(InvertedIndex(spark, top), q, BM25Params(k=15)))
     b = _rows(search_kernel(InvertedIndex(spark, single), q, BM25Params(k=15)))
     assert a == b
+
+
+def test_merge_carries_warc_ts(spark, tmp_path):
+    """store_timestamps docvecs keep warc_ts through a merge (the
+    background-linking date filter reads it post-compaction)."""
+    import datetime
+
+    from anserini_spark.index.merge import merge_indexes
+
+    def mk(name, rows):
+        d = str(tmp_path / name)
+        c = spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, text string, lang string")
+        build_index(spark, c, IndexConfig(
+            out_dir=d, doc_partitions=1, block_partitions=1,
+            store_timestamps=True))
+        return d
+
+    a = mk("a", [("u/1", datetime.datetime(2020, 1, 1), "alpha beta", "en")])
+    b = mk("b", [("u/2", datetime.datetime(2021, 2, 2), "gamma delta", "en")])
+    out = str(tmp_path / "m")
+    merge_indexes(spark, [a, b], IndexConfig(
+        out_dir=out, doc_partitions=1, block_partitions=1,
+        store_timestamps=True))
+    dv = {r["url"]: r["warc_ts"]
+          for r in spark.read.parquet(out + "/docvec.parquet")
+          .select("url", "warc_ts").collect()}
+    assert dv["u/1"].year == 2020 and dv["u/2"].year == 2021
