@@ -280,8 +280,9 @@ def _mapside_blocks_kernel(cfg: IndexConfig):
     the layout shuffle's sortWithinPartitions restores term order.
 
     Runs under ``mapInArrow``: term flatten / dictionary-encode and
-    the posting explode are C++-side; only lexsort + encode_blocks
-    (vectorized numpy) run in Python. Memory is bounded by
+    the posting explode are C++-side; only one stable argsort +
+    encode_blocks_arrow (vectorized numpy emitting zero-copy Arrow
+    binary columns) run in Python. Memory is bounded by
     ``blocks_flush_postings`` (default 8M postings ≈ 200 MB): a flush
     emits blocks for everything buffered, at worst splitting one
     (term, segment, bucket) run into an extra partial block.
@@ -312,12 +313,14 @@ def _mapside_blocks_kernel(cfg: IndexConfig):
         import numpy as np
         import pyarrow.compute as pc
 
+        from .blocks import encode_blocks_arrow
+
         terms_acc: list = []   # flattened StringArray chunks
         doc_acc: list = []
         seg_acc: list = []
         tf_acc: list = []
         dl_acc: list = []
-        pos_acc: list = []
+        pos_acc: list = []     # per-posting position ListArrays
         count = 0
 
         def flush() -> Iterator["pa.RecordBatch"]:
@@ -329,25 +332,34 @@ def _mapside_blocks_kernel(cfg: IndexConfig):
             denc = pc.dictionary_encode(flat)
             codes = denc.indices.to_numpy(zero_copy_only=False).astype(
                 np.int64)
-            vocab = denc.dictionary.to_numpy(zero_copy_only=False)
             doc = np.concatenate(doc_acc)
             seg = np.concatenate(seg_acc)
             tf = np.concatenate(tf_acc)
             dl = np.concatenate(dl_acc)
-            order = np.lexsort((doc, seg, codes))
+            if np.all(doc[1:] >= doc[:-1]):
+                # docvec partitions arrive doc-ascending (ids were
+                # assigned after the url sort), so ONE stable argsort
+                # on the term code yields (code, seg, doc) order —
+                # seg rides the doc id's high bits — at half the
+                # lexsort's sort passes
+                order = np.argsort(codes, kind="stable")
+            else:  # multi-file task with out-of-order splits
+                order = np.lexsort((doc, seg, codes))
             pos = None
             if store_pos:
-                pos = np.concatenate(pos_acc)[order]
-            df = encode_blocks(
-                vocab[codes[order]], seg[order], doc[order], tf[order],
-                dl[order], block_size, positions=pos,
+                plist = pa.concat_arrays(
+                    [a.combine_chunks() if isinstance(a, pa.ChunkedArray)
+                     else a for a in pos_acc])
+                pos = plist.take(pa.array(order))  # C-side list gather
+            batch = encode_blocks_arrow(
+                codes[order], denc.dictionary, seg[order], doc[order],
+                tf[order], dl[order], pa_schema, block_size, positions=pos,
             )
             terms_acc.clear(); doc_acc.clear(); seg_acc.clear()
             tf_acc.clear(); dl_acc.clear(); pos_acc.clear()
             count = 0
-            if len(df):
-                yield pa.RecordBatch.from_pandas(
-                    df, schema=pa_schema, preserve_index=False)
+            if batch.num_rows:
+                yield batch
 
         for b in batches:
             tcol = b.column("terms")
@@ -365,8 +377,7 @@ def _mapside_blocks_kernel(cfg: IndexConfig):
             dl_acc.append(np.repeat(
                 b.column("doclen").to_numpy(zero_copy_only=False), lens))
             if store_pos:
-                pos_acc.append(b.column("positions").flatten().to_numpy(
-                    zero_copy_only=False))
+                pos_acc.append(b.column("positions").flatten())
             count += int(lens.sum())
             if count >= flush_at:
                 yield from flush()

@@ -172,7 +172,11 @@ spark.stop()
         import numpy as np
 
         sys.path.insert(0, REPO)
-        from anserini_spark.index.blocks import decode_block_run, encode_blocks
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from anserini_spark.index.blocks import (decode_block_run,
+                                                 encode_blocks_arrow)
         rng = np.random.default_rng(11)
         n_post = 2_000_000
         n_terms = 20_000
@@ -192,10 +196,34 @@ spark.stop()
                     rng.choice(n_docs_seg, hi - lo, replace=False))
         tfs = rng.integers(1, 30, n_post).astype(np.int64)
         dls = rng.integers(20, 2000, n_post).astype(np.int64)
+        # deliver doc-major (the docvec layout the kernel's batches
+        # arrive in) so the control pays the flush's dictionary-encode
+        # + lexsort exactly like the Spark task does
+        shuf = np.lexsort((tids, doc_ids))
+        flat = pa.array(terms[shuf])
+        doc_in, seg_in = doc_ids[shuf], segs[shuf]
+        tf_in, dl_in = tfs[shuf], dls[shuf]
+        schema = pa.schema([
+            pa.field("term", pa.string()), pa.field("segment", pa.int32()),
+            pa.field("first_doc", pa.int64()),
+            pa.field("last_doc", pa.int64()),
+            pa.field("n", pa.int32()), pa.field("max_tf", pa.int32()),
+            pa.field("min_dl", pa.int64()), pa.field("sum_tf", pa.int64()),
+            pa.field("docs_bin", pa.binary()),
+            pa.field("tfs_bin", pa.binary()),
+            pa.field("dls_bin", pa.binary())])
         t0 = _t.perf_counter()
         passes = 3
         for _ in range(passes):
-            blk = encode_blocks(terms, segs, doc_ids, tfs, dls)
+            # the REAL flush path (_mapside_blocks_kernel): dictionary
+            # encode -> lexsort -> Arrow-native block emission
+            denc = pc.dictionary_encode(flat)
+            codes = denc.indices.to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            order = np.lexsort((doc_in, seg_in, codes))
+            blk = encode_blocks_arrow(
+                codes[order], denc.dictionary, seg_in[order], doc_in[order],
+                tf_in[order], dl_in[order], schema).to_pandas()
             decode_block_run(
                 list(blk["docs_bin"][:4000]), list(blk["tfs_bin"][:4000]),
                 list(blk["dls_bin"][:4000]), blk["n"].to_numpy()[:4000],

@@ -78,3 +78,92 @@ def test_blocks_never_span_segments():
     bl = encode_blocks(terms, segs, docs, tfs, dls)
     assert len(bl) == 2
     assert set(bl["segment"]) == {0, 1}
+
+
+def _random_sorted_postings(rng, with_pos=False):
+    rows = []
+    for term in ["aa", "bb", "cc", "singleton", "zz"]:
+        for seg in [0, 2]:
+            ndocs = int(rng.integers(1, 700))
+            docs = np.sort(
+                rng.choice(np.arange(seg << 33, (seg << 33) + 60000), ndocs,
+                           replace=False))
+            for d in docs:
+                tf = int(rng.integers(1, 8))
+                pos = np.sort(rng.choice(5000, tf, replace=False)).tolist()
+                rows.append((term, seg, int(d), tf, int(rng.integers(1, 3000)),
+                             pos))
+    rows.sort(key=lambda r: (r[0], r[2]))
+    return rows
+
+
+def test_encode_blocks_arrow_matches_pandas():
+    """The Arrow-native map-side encoder (round 6 blocks-stage scaling
+    fix) emits bit-identical blocks to the pandas oracle, including the
+    positional payload."""
+    import pyarrow as pa
+
+    from anserini_spark.index.blocks import encode_blocks_arrow
+
+    rng = np.random.default_rng(23)
+    rows = _random_sorted_postings(rng)
+    terms = np.array([r[0] for r in rows], dtype=object)
+    segs = np.array([r[1] for r in rows])
+    docs = np.array([r[2] for r in rows])
+    tfs = np.array([r[3] for r in rows])
+    dls = np.array([r[4] for r in rows])
+    poss = np.empty(len(rows), dtype=object)
+    poss[:] = [r[5] for r in rows]
+
+    for store_pos in (False, True):
+        fields = [
+            pa.field("term", pa.string()), pa.field("segment", pa.int32()),
+            pa.field("first_doc", pa.int64()), pa.field("last_doc", pa.int64()),
+            pa.field("n", pa.int32()), pa.field("max_tf", pa.int32()),
+            pa.field("min_dl", pa.int64()), pa.field("sum_tf", pa.int64()),
+            pa.field("docs_bin", pa.binary()), pa.field("tfs_bin", pa.binary()),
+            pa.field("dls_bin", pa.binary()),
+        ]
+        if store_pos:
+            fields.append(pa.field("pos_bin", pa.binary()))
+        schema = pa.schema(fields)
+
+        expected = encode_blocks(terms, segs, docs, tfs, dls,
+                                 positions=poss if store_pos else None)
+        # dictionary-encode exactly like the kernel flush does
+        import pyarrow.compute as pc
+        denc = pc.dictionary_encode(pa.array(list(terms)))
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        pos_arr = (pa.array([list(p) for p in poss],
+                            type=pa.list_(pa.int32()))
+                   if store_pos else None)
+        got = encode_blocks_arrow(
+            codes, denc.dictionary, segs, docs, tfs, dls, schema,
+            positions=pos_arr).to_pandas()
+        cols = list(expected.columns)
+        assert list(got.columns) == cols
+        for c in cols:
+            assert (got[c].to_numpy(dtype=object)
+                    == expected[c].to_numpy(dtype=object)).all(), c
+
+
+def test_encode_blocks_arrow_empty():
+    import pyarrow as pa
+
+    from anserini_spark.index.blocks import encode_blocks_arrow
+
+    schema = pa.schema([pa.field("term", pa.string()),
+                        pa.field("segment", pa.int32()),
+                        pa.field("first_doc", pa.int64()),
+                        pa.field("last_doc", pa.int64()),
+                        pa.field("n", pa.int32()),
+                        pa.field("max_tf", pa.int32()),
+                        pa.field("min_dl", pa.int64()),
+                        pa.field("sum_tf", pa.int64()),
+                        pa.field("docs_bin", pa.binary()),
+                        pa.field("tfs_bin", pa.binary()),
+                        pa.field("dls_bin", pa.binary())])
+    z = np.empty(0, dtype=np.int64)
+    b = encode_blocks_arrow(z, pa.array([], type=pa.string()), z, z, z, z,
+                            schema)
+    assert b.num_rows == 0 and b.schema == schema
