@@ -213,8 +213,15 @@ def _binary_column(buf: np.ndarray, nb: np.ndarray,
     nblocks = len(group_starts)
     off = np.zeros(nblocks + 1, dtype=np.int32)
     if nblocks:
-        off[1:] = np.cumsum(np.add.reduceat(per, group_starts)).astype(
-            np.int32)
+        ends = np.cumsum(np.add.reduceat(per, group_starts))
+        if int(ends[-1]) > np.iinfo(np.int32).max:
+            # pa.binary() carries int32 offsets; a flush this large
+            # means blocks_flush_postings was raised past ~250M
+            # postings — flush more often instead
+            raise ValueError(
+                f"binary column of {int(ends[-1])} bytes exceeds the "
+                "int32 offset range; lower blocks_flush_postings")
+        off[1:] = ends.astype(np.int32)
     data = np.ascontiguousarray(buf)
     return pa.Array.from_buffers(
         pa.binary(), nblocks,
