@@ -25,6 +25,7 @@ from anserini_spark.ops import index_queries as iq
 from anserini_spark.ops import ltr
 from anserini_spark.ops import similarity as sim
 from anserini_spark.ops import textstats as ts
+from anserini_spark.ops import sampling as sp
 from anserini_spark.ops import urlnorm as un
 
 SF001 = "/root/testdata/sf0.001"
@@ -77,6 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_heuristic": ts.langid_heuristic,
         "doc_fingerprint": ts.doc_fingerprint,
         "url_canonical_dedup": un.url_canonical_dedup,
+        "stratified_sample": sp.stratified_sample_gate,
         # similarity search
         "cosine_topk": sim.cosine_topk,
         "ann_lsh_topk": sim.ann_lsh_topk_gate,
@@ -95,6 +97,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(ltr.oracle_sqls())
     out.update(ts.oracle_sqls())
     out.update(un.oracle_sqls())
+    out.update(sp.oracle_sqls())
     out.update(dd.oracle_sqls())
     out.update(sim.oracle_sqls())
     out.update(ev.oracle_sqls())
