@@ -25,6 +25,7 @@ from anserini_spark.ops import index_queries as iq
 from anserini_spark.ops import ltr
 from anserini_spark.ops import similarity as sim
 from anserini_spark.ops import textstats as ts
+from anserini_spark.ops import contamination as cn
 from anserini_spark.ops import sampling as sp
 from anserini_spark.ops import urlnorm as un
 
@@ -79,6 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": ts.doc_fingerprint,
         "url_canonical_dedup": un.url_canonical_dedup,
         "stratified_sample": sp.stratified_sample_gate,
+        "contamination_check": cn.contamination_check,
         # similarity search
         "cosine_topk": sim.cosine_topk,
         "ann_lsh_topk": sim.ann_lsh_topk_gate,
@@ -98,6 +100,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(ts.oracle_sqls())
     out.update(un.oracle_sqls())
     out.update(sp.oracle_sqls())
+    out.update(cn.oracle_sqls())
     out.update(dd.oracle_sqls())
     out.update(sim.oracle_sqls())
     out.update(ev.oracle_sqls())
