@@ -26,6 +26,7 @@ from anserini_spark.ops import ltr
 from anserini_spark.ops import similarity as sim
 from anserini_spark.ops import textstats as ts
 from anserini_spark.ops import contamination as cn
+from anserini_spark.ops import pii
 from anserini_spark.ops import sampling as sp
 from anserini_spark.ops import urlnorm as un
 
@@ -81,6 +82,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_dedup": un.url_canonical_dedup,
         "stratified_sample": sp.stratified_sample_gate,
         "contamination_check": cn.contamination_check,
+        "pii_scrub": pii.pii_scrub,
         # similarity search
         "cosine_topk": sim.cosine_topk,
         "ann_lsh_topk": sim.ann_lsh_topk_gate,
@@ -101,6 +103,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(un.oracle_sqls())
     out.update(sp.oracle_sqls())
     out.update(cn.oracle_sqls())
+    out.update(pii.oracle_sqls())
     out.update(dd.oracle_sqls())
     out.update(sim.oracle_sqls())
     out.update(ev.oracle_sqls())
