@@ -139,7 +139,18 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str,
     """LSH candidates (band-bucket join) verified by exact Jaccard on
     the candidate set only — the scalable near-dup path. The shingle
     table feeds the signature build AND the verify join, so it is
-    persisted for the run (one tokenize pass, three consumers)."""
+    persisted for the run (one tokenize pass, three consumers).
+
+    Round-7 verify shape (guide §2.3/§2.4): the exact-Jaccard verify
+    first restricts the shingle table to CANDIDATE docs with a
+    broadcast semi-join (candidates are bounded by the banding's
+    selectivity, not the corpus), collects each candidate doc's
+    shingle set into one array (tiny groupBy), and attaches the two
+    arrays to the pair list with broadcast joins — the round-6 plan
+    instead ran two SortMergeJoins + two aggregations over the FULL
+    2.6M-row shingle table (40-Exchange plan, ~60% of the op's wall).
+    Output is identical: same candidates, same exact-Jaccard float
+    math over the same distinct shingle sets."""
     sh_cached = _shingles(spark, sf_dir).persist()
     sig = _signatures_from_shingles(sh_cached)
     rows_per_band = N_HASHES // n_bands
@@ -175,24 +186,39 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str,
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
+        # three consumers (two union arms + the pair broadcast): persist
+        # the tiny pair list or the band self-join subtree runs 3x
+        .persist()
     )
-    # verify candidates with exact Jaccard over shingle sets
-    sh = sh_cached
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle"))
-    inter = (
-        cand.join(sh_a, "doc_a")
-        .join(sh_b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
+    # verify candidates with exact Jaccard over shingle sets, touching
+    # only candidate docs' shingles: semi-join filter (streamed against
+    # the cached shingle table, no shuffle) -> per-doc set arrays
+    # (groupBy over candidate docs only) -> broadcast-attach to pairs
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    sharr = (
+        sh_cached.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_list("shingle").alias("sh"))
+        # two consumers (sh_a attach + sh_b attach): persist the
+        # candidate-doc arrays (O(candidates), tiny) once
+        .persist()
+    )
+    with_a = sharr.join(
+        F.broadcast(cand), sharr["doc_id"] == cand["doc_a"]
+    ).select("doc_a", "doc_b", F.col("sh").alias("sh_a"))
+    pairs = sharr.join(
+        F.broadcast(with_a), sharr["doc_id"] == with_a["doc_b"]
+    ).select(
+        "doc_a", "doc_b",
+        F.size(F.array_intersect("sh_a", "sh")).alias("inter"),
+        F.size("sh_a").alias("na"), F.size("sh").alias("nb"),
+    )
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
+        pairs.withColumn(
             "jaccard",
             F.round(
                 F.col("inter").cast("double")
