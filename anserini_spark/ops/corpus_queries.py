@@ -117,15 +117,34 @@ def bm25_tuned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bm25_topk_with(spark: SparkSession, sf_dir: str, k1: float,
                     b: float) -> DataFrame:
-    """tf feeds both the df-stats aggregation and the scoring join,
-    and dl feeds stats + scoring — persisted so the tokenize/explode
-    pass runs once."""
-    tf = _tf(spark, sf_dir).persist()
-    dl = doc_lengths(spark, sf_dir).persist()
+    """One tokenize pass, one wide shuffle (round 7, guide §2.3/§2.4):
+    ``doclen`` is computed doc-locally (size of the filtered token
+    array, identical to the old groupBy count) and carried through the
+    tf aggregation as a grouping key (functionally dependent on
+    doc_id), so scoring needs NO doc-length join and stats come from
+    one aggregate over the cached tf table. The round-6 plan tokenized
+    the corpus twice (tf + dl scans), cached both, and joined dl back
+    into the scored stream."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.filter(F.split(F.col("text"), " "), lambda t: t != "").alias(
+            "toks"),
+    )
+    tf = (
+        d.select("doc_id", F.size("toks").alias("doclen"),
+                 F.explode("toks").alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "doclen", "term")
+        .agg(F.count("*").alias("tf"))
+        .persist()
+    )
     q = spark.createDataFrame(FIXED_QUERIES, "qid int, term string")
-    stats = dl.agg(
-        F.count("*").cast("double").alias("n"),
-        (F.sum("doclen").cast("double") / F.count("*")).alias("avgdl"),
+    # n docs = distinct doc_id; sum of tf over all rows = sum(doclen):
+    # same integers the old dl-side aggregate produced
+    stats = tf.agg(
+        F.countDistinct("doc_id").cast("double").alias("n"),
+        (F.sum("tf").cast("double")
+         / F.countDistinct("doc_id").cast("double")).alias("avgdl"),
     )
     dfreq = (
         tf.join(F.broadcast(q.select("term").distinct()), "term")
@@ -144,7 +163,6 @@ def _bm25_topk_with(spark: SparkSession, sf_dir: str, k1: float,
     scored = (
         tf.join(F.broadcast(q), "term")
         .join(F.broadcast(dfreq), "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("qid", "doc_id")
         .agg(F.sum(contrib).alias("score"))

@@ -304,8 +304,13 @@ def _finalize_arrays(index: InvertedIndex, hits: DataFrame,
     merged = hits.groupBy("qid").applyInPandas(
         _merge_topk_fn(k), schema="qid int, doc_id long, score double"
     )
+    # url attach: broadcast the ~k-per-qid survivors into a streamed
+    # docmap scan (guide §3.1) — the candidate side is bounded by
+    # queries x k regardless of corpus size, while the round-6
+    # shuffle_hash hint exchanged the FULL docmap by doc_id per batch
+    # (2 exchanges removed from every kernel search)
     docmap = index.docmap.select("doc_id", "url")
-    joined = merged.join(docmap.hint("shuffle_hash"), "doc_id")
+    joined = docmap.join(F.broadcast(merged), "doc_id")
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("url"))
     ranked = (
         joined.withColumn("rank", F.row_number().over(w))
@@ -335,8 +340,10 @@ def _finalize(index: InvertedIndex, hits: DataFrame, k: int) -> DataFrame:
         .filter(F.col("r0") <= k)
         .drop("r0")
     )
+    # see _finalize_arrays: broadcast the bounded survivor set into a
+    # streamed docmap scan instead of shuffling the full docmap
     docmap = index.docmap.select("doc_id", "url")
-    joined = pruned.join(docmap.hint("shuffle_hash"), "doc_id")
+    joined = docmap.join(F.broadcast(pruned), "doc_id")
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("url"))
     ranked = (
         joined.withColumn("rank", F.row_number().over(w))
