@@ -498,6 +498,13 @@ def build_index(spark: SparkSession, corpus: DataFrame, cfg: IndexConfig,
     dict_path = os.path.join(cfg.out_dir, "dictionary.parquet")
     stats_path = os.path.join(cfg.out_dir, "stats.json")
 
+    # fully-built index: skip the docvec re-open (a driver file-listing
+    # + schema read paid by every resumed call — the gate queries call
+    # build_index once per query invocation)
+    if all(man.done(s) for s in ("docvec", "blocks", "dictionary",
+                                 "stats")):
+        return man.entries
+
     # ---- stage 1: docvec ------------------------------------------------
     if not man.done("docvec"):
         t0 = time.time()

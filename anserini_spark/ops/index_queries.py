@@ -163,14 +163,27 @@ def _gate_index(spark: SparkSession, sf_dir: str,
         docs = docs.filter(F.col("doc_id") % 5 == 0)
     elif slice_part is not None:
         raise ValueError(f"slice_part must be 'a'/'b'/None: {slice_part}")
-    fp = docs.agg(
-        F.count("*").alias("n"),
-        F.max("doc_id").alias("m"),
-        # content digest: edited text with unchanged count/ids must not
-        # reuse a stale cached index (order-independent xor of row hashes;
-        # xor, not sum — sum of 64-bit hashes overflows under ANSI mode)
-        F.bit_xor(F.xxhash64("doc_id", "text")).alias("h"),
-    ).collect()[0]
+    # cache key: digest of the source parquet's file metadata (path,
+    # size, mtime) instead of a content-scan aggregate — the round-6
+    # fingerprint ran a full (doc_id, text) scan + xxhash + collect on
+    # EVERY gate query (~0.4 s at sf1.0, paid 20x per gate sweep;
+    # guide §1.2 "don't compute things you throw away"). Any rewrite
+    # of the file moves size or mtime, so an edited corpus still gets
+    # a fresh index dir; a byte-identical regeneration merely rebuilds
+    # once, which only costs the first run.
+    import hashlib
+
+    src = f"{sf_dir}/documents.parquet"
+    parts = []
+    if os.path.isdir(src):
+        for root, _, files in sorted(os.walk(src)):
+            for fn in sorted(files):
+                st = os.stat(os.path.join(root, fn))
+                parts.append(f"{os.path.relpath(os.path.join(root, fn), src)}:{st.st_size}:{st.st_mtime_ns}")
+    else:
+        st = os.stat(src)
+        parts.append(f"{os.path.basename(src)}:{st.st_size}:{st.st_mtime_ns}")
+    fh = hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
     from ..index.build import SEG_SHIFT
 
     # the zh/fr tags carry the chain's analysis_version so a future
@@ -183,7 +196,7 @@ def _gate_index(spark: SparkSession, sf_dir: str,
         av = "_" + analysis_version("cjk" if zh else "fr").replace(
             ".", "_")
     tag = (f"{os.path.basename(os.path.normpath(sf_dir))}"
-           f"_{fp['n']}_{fp['m']}_{(fp['h'] or 0) & 0xFFFFFFFFFFFF:x}"
+           f"_{fh}"
            f"_s{SEG_SHIFT}{'_pos' if positions else ''}"
            f"{'_big' if bigram else ''}"
            f"{'_zh' if zh else ''}{'_fr' if fr else ''}{av}"
