@@ -794,15 +794,25 @@ def eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..eval import metrics as M
 
-    vals = [
-        ("err20", M.err_at_k(run, qrels, 20)),
-        ("gd_ndcg20", M.gd_ndcg_at_k(run, qrels, 20)),
-        ("map", M.map_at(run, qrels, EVAL_K)),
-        ("mrr10", M.mrr_at_k(run, qrels, 10)),
-        ("ndcg_cut20", M.ndcg_at_k(run, qrels, 20)),
-        ("p10", M.precision_at_k(run, qrels, 10)),
-        ("recall50", M.recall_at_k(run, qrels, EVAL_K)),
+    # the seven metrics are independent reductions over the two cached
+    # tables, each a couple of tiny Spark jobs; run them concurrently
+    # so the next metric's tasks back-fill the tail of the previous
+    # one's (guide §2.6 "overlap independent jobs") — values are
+    # produced by the same metric code either way
+    from concurrent.futures import ThreadPoolExecutor
+
+    tasks = [
+        ("err20", lambda: M.err_at_k(run, qrels, 20)),
+        ("gd_ndcg20", lambda: M.gd_ndcg_at_k(run, qrels, 20)),
+        ("map", lambda: M.map_at(run, qrels, EVAL_K)),
+        ("mrr10", lambda: M.mrr_at_k(run, qrels, 10)),
+        ("ndcg_cut20", lambda: M.ndcg_at_k(run, qrels, 20)),
+        ("p10", lambda: M.precision_at_k(run, qrels, 10)),
+        ("recall50", lambda: M.recall_at_k(run, qrels, EVAL_K)),
     ]
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futs = [(n, pool.submit(fn)) for n, fn in tasks]
+        vals = [(n, f.result()) for n, f in futs]
     run.unpersist()
     qrels.unpersist()
     return spark.createDataFrame(

@@ -42,17 +42,15 @@ from __future__ import annotations
 
 from typing import Dict
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .corpus_queries import (
     FIXED_QUERIES,
     K1,
     B,
-    _tf,
     _TOK_CTE,
     _values_clause,
-    doc_lengths,
 )
 
 _LOG2 = "ln(2.0)"
@@ -61,13 +59,35 @@ _LOG2 = "ln(2.0)"
 def ltr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(qid, doc_id) LTR feature vectors for the fixed query set
     over every matching document, 4-decimal rounded."""
-    tf = _tf(spark, sf_dir).persist()
-    dl = doc_lengths(spark, sf_dir).persist()
+    # one tokenize pass, one wide shuffle (round 7, guide §2.3/§2.4):
+    # doclen rides the tf aggregation as a grouping key (functionally
+    # dependent on doc_id), so the per-(query, doc) features need no
+    # doc-length join and collection stats come from one aggregate —
+    # the round-6 plan tokenized the corpus twice (tf + dl scans) and
+    # joined dl back into the feature stream
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("text").isNotNull() & (F.trim(F.col("text")) != ""))
+        .select(
+            "doc_id",
+            F.filter(F.split(F.col("text"), " "),
+                     lambda t: t != "").alias("toks"),
+        )
+    )
+    tf = (
+        d.select("doc_id", F.size("toks").alias("doclen"),
+                 F.explode("toks").alias("term"))
+        .groupBy("doc_id", "doclen", "term")
+        .agg(F.count("*").alias("tf"))
+        .persist()
+    )
     q = spark.createDataFrame(FIXED_QUERIES, "qid int, term string")
 
-    stats = dl.agg(
-        F.count("*").cast("double").alias("n"),
-        F.sum("doclen").cast("double").alias("coll_c"),
+    # n docs = distinct doc_id; total collection tokens = sum(tf):
+    # the same integers the old dl-side aggregate produced
+    stats = tf.agg(
+        F.countDistinct("doc_id").cast("double").alias("n"),
+        F.sum("tf").cast("double").alias("coll_c"),
     )
     # per-query bag: qtf per term, |q|, #uniq
     qterm = q.groupBy("qid", "term").agg(
@@ -116,7 +136,6 @@ def ltr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair = (
         tf.join(F.broadcast(qterm), "term")
         .join(F.broadcast(tstats), "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("qid", "doc_id")
         .agg(
@@ -143,21 +162,20 @@ def ltr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     if pair_rows:
         qp = spark.createDataFrame(
             pair_rows, "qid int, pid int, term_a string, term_b string")
-        tokp = (
-            spark.read.parquet(f"{sf_dir}/documents.parquet")
-            .filter(F.col("text").isNotNull()
-                    & (F.trim("text") != ""))
-            .select("doc_id", F.posexplode(F.split("text", " "))
-                    .alias("rawpos", "term"))
-            .filter(F.col("term") != "")
-            .withColumn(
-                "pos",
-                F.row_number().over(
-                    Window.partitionBy("doc_id").orderBy("rawpos")) - 1)
-            .select("doc_id", "term", "pos")
-        )
+        # positions are doc-local: posexplode of the FILTERED token
+        # array yields exactly the 0-based position among non-empty
+        # tokens — the round-6 plan instead renumbered with a
+        # row_number window (full shuffle + sort over every token,
+        # computed once per join side)
+        tokp = d.select(
+            "doc_id", F.posexplode("toks").alias("pos", "term"))
         a = tokp.alias("a")
-        b = tokp.alias("b")
+        # pre-filter the right side to pair-second terms before the
+        # doc_id join (scan-level IN pushdown; guide §2.3 "shuffle
+        # fewer bytes")
+        b = tokp.filter(
+            F.col("term").isin(sorted({r[3] for r in pair_rows}))
+        ).alias("b")
         delta = F.col("b.pos") - F.col("a.pos")
         win = (
             a.join(F.broadcast(qp), F.col("a.term") == F.col("term_a"))
