@@ -26,14 +26,19 @@ def _ngrams(df: DataFrame, id_col: str, n: int) -> DataFrame:
         F.col(id_col),
         F.filter(F.split(F.col("text"), " "), lambda t: t != "").alias("toks"),
     ).filter(F.size("toks") >= n)
+    # n-grams via arrays_zip of n shifted slices — codegen'd
+    # expressions (the round-6 transform(sequence(...)) lambda ran
+    # interpreted per position, re-slicing the array each time;
+    # guide §4.1 "prefer built-ins")
+    zipped = F.arrays_zip(
+        *[F.slice("toks", i + 1, F.size("toks") - (n - 1))
+          for i in range(n)]
+    )
     return toks.select(
+        F.col(id_col), F.explode(zipped).alias("e")
+    ).select(
         F.col(id_col),
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, size(toks) - {n}),"
-                f" i -> array_join(slice(toks, i + 1, {n}), ' '))"
-            )
-        ).alias("gram"),
+        F.concat_ws(" ", *[F.col(f"e.{i}") for i in range(n)]).alias("gram"),
     )
 
 
@@ -59,7 +64,9 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate entry: every 50th document's leading 8-gram acts as the
     benchmark set (deterministic; guarantees self-hits and catches
     real cross-document leakage through the corpus's near-dups)."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ..util.scans import read_parquet_fanout
+
+    d = read_parquet_fanout(spark, f"{sf_dir}/documents.parquet")
     bench = (
         d.filter(F.col("doc_id") % 50 == 0)
         .select(

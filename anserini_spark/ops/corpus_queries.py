@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..util.scans import read_parquet_fanout
+
 K1 = 0.9
 B = 0.4
 
@@ -45,7 +47,7 @@ TOPK = 10
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        read_parquet_fanout(spark, f"{sf_dir}/documents.parquet")
         .filter(F.col("text").isNotNull() & (F.trim(F.col("text")) != ""))
         .select("doc_id", "text")
     )
@@ -193,14 +195,17 @@ def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).withColumn(
         "toks", F.filter(F.split(F.col("text"), " "), lambda t: t != "")
     ).filter(F.size("toks") >= 2)
+    # adjacent pairs via arrays_zip of two shifted slices — codegen'd
+    # expressions (the round-6 transform(sequence(...)) lambda ran
+    # interpreted per element; guide §4.1 "prefer built-ins")
     bg = d.select(
         F.explode(
-            F.expr(
-                "transform(sequence(0, size(toks) - 2),"
-                " i -> concat_ws(' ', toks[i], toks[i + 1]))"
+            F.arrays_zip(
+                F.slice("toks", 1, F.size("toks") - 1),
+                F.slice("toks", 2, F.size("toks") - 1),
             )
-        ).alias("bigram")
-    )
+        ).alias("e")
+    ).select(F.concat_ws(" ", F.col("e.0"), F.col("e.1")).alias("bigram"))
     return (
         bg.groupBy("bigram")
         .agg(F.count("*").alias("cf"))

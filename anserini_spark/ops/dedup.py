@@ -45,8 +45,10 @@ GATE_BANDS = 16
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..util.scans import read_parquet_fanout
+
     return (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        read_parquet_fanout(spark, f"{sf_dir}/documents.parquet")
         .filter(F.col("text").isNotNull() & (F.trim(F.col("text")) != ""))
         .select("doc_id", "text")
     )
@@ -236,33 +238,49 @@ SIMHASH_CHUNKS = 4    # 4 x 15-bit bands; pigeonhole-complete at radius 3
 SIMHASH_RADIUS = 3
 
 
-def _simhash_pack_udf():
-    """array<array<long>> of (term_hash, tf) pairs -> 60-bit SimHash.
+def _simhash_doc_kernel():
+    """(doc_id, text) batches -> (doc_id, simhash), one Arrow pass.
 
-    One Arrow batch = one bit-unpack (n_terms x 60) + one segmented
-    reduce (np.add.reduceat over per-doc bounds); the plan carries a
-    single packed column instead of 60 per-bit vote aggregates.
-    Every doc has >= 1 term (empty docs are filtered upstream), so
-    reduceat segments are never empty. (Factory, not module-level
-    decorator: @pandas_udf parses its DDL type eagerly and needs an
-    active session.)"""
+    Per-doc term counts (whitespace tokens), md5-derived 60-bit term
+    hashes and the tf-weighted bit votes are all computed doc-locally
+    inside the kernel — the round-6 plan shuffled every (doc, term)
+    pair twice (tf groupBy + collect_list groupBy) just to feed the
+    same packed bit-vote reduce (guide §2.4: remove shuffles
+    outright). Python's hashlib.md5 produces the identical digest the
+    JVM/DuckDB md5 does, and the Zipf vocabulary makes the per-task
+    term-hash cache hit rate ~1."""
 
-    @pandas_udf("long")
-    def _simhash_pack(hw: pd.Series) -> pd.Series:
+    def fn(batches):
+        import hashlib
+        from collections import Counter
+
         shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
-        lens = np.fromiter((len(x) for x in hw), dtype=np.int64,
-                           count=len(hw))
-        if len(hw) == 0 or int(lens.sum()) == 0:
-            return pd.Series(np.zeros(len(hw), dtype=np.int64))
-        flat = np.concatenate([np.vstack(x) for x in hw]).astype(np.int64)
-        bits = (flat[:, :1] >> shifts[None, :]) & 1      # (n_terms, 60)
-        contrib = (2 * bits - 1) * flat[:, 1:2]          # tf-weighted votes
-        bounds = np.concatenate(([0], np.cumsum(lens)[:-1]))
-        votes = np.add.reduceat(contrib, bounds, axis=0)  # (n_docs, 60)
-        sig = ((votes > 0).astype(np.int64) << shifts[None, :]).sum(axis=1)
-        return pd.Series(sig)
+        hcache: dict = {}
 
-    return _simhash_pack
+        def term_hash(t: str) -> int:
+            h = hcache.get(t)
+            if h is None:
+                h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+                if len(hcache) < 1_000_000:
+                    hcache[t] = h
+            return h
+
+        for b in batches:
+            ids = b["doc_id"].to_numpy()
+            sigs = np.empty(len(ids), dtype=np.int64)
+            for i, text in enumerate(b["text"]):
+                counts = Counter(t for t in text.split(" ") if t)
+                hs = np.fromiter((term_hash(t) for t in counts),
+                                 dtype=np.int64, count=len(counts))
+                tfs = np.fromiter(counts.values(), dtype=np.int64,
+                                  count=len(counts))
+                bits = (hs[:, None] >> shifts[None, :]) & 1
+                votes = ((2 * bits - 1) * tfs[:, None]).sum(axis=0)
+                sigs[i] = int(((votes > 0).astype(np.int64)
+                               << shifts).sum())
+            yield pd.DataFrame({"doc_id": ids, "simhash": sigs})
+
+    return fn
 
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -270,24 +288,11 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf * (+1 if bit i of h(term) else -1) > 0 ], with h(term) = the
     first 15 hex chars of md5(term) — the SAME value DuckDB computes
     with ('0x' || substr(md5(term), 1, 15))::BIGINT, which is what
-    makes the whole operator externally recomputable."""
+    makes the whole operator externally recomputable. Computed in one
+    doc-local Arrow pass (zero shuffle; see ``_simhash_doc_kernel``)."""
     d = _docs(spark, sf_dir)
-    tf = (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-        .filter(F.col("term") != "")
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-        .withColumn(
-            "h",
-            F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("long"),
-        )
-    )
-    packed = tf.groupBy("doc_id").agg(
-        F.collect_list(F.array("h", "tf")).alias("hw")
-    )
-    return packed.select(
-        "doc_id", _simhash_pack_udf()(F.col("hw")).alias("simhash")
-    )
+    return d.mapInPandas(_simhash_doc_kernel(),
+                         schema="doc_id long, simhash long")
 
 
 def simhash_pairs(spark: SparkSession, sf_dir: str,

@@ -10,6 +10,11 @@ from pyspark.sql import functions as F
 
 
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deliberately NOT fanned out (util/scans.py): the hourly rollup's
+    # partial aggregate collapses rows inside the scan task, so a
+    # pre-aggregation repartition would shuffle raw events only to
+    # parallelize work the map-side combine already makes cheap —
+    # measured 0.5 s -> 1.2 s when fanned out at sf1.0
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
         e.groupBy(

@@ -45,6 +45,8 @@ from typing import Dict
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..util.scans import read_parquet_fanout
+
 from .corpus_queries import (
     FIXED_QUERIES,
     K1,
@@ -66,7 +68,7 @@ def ltr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the round-6 plan tokenized the corpus twice (tf + dl scans) and
     # joined dl back into the feature stream
     d = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        read_parquet_fanout(spark, f"{sf_dir}/documents.parquet")
         .filter(F.col("text").isNotNull() & (F.trim(F.col("text")) != ""))
         .select(
             "doc_id",

@@ -61,7 +61,9 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings are appended per doc_id residue (same expressions in the
     oracle); output is the counts plus a fingerprint of the redacted
     text, which pins the replacement behavior byte-for-byte."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ..util.scans import read_parquet_fanout
+
+    d = read_parquet_fanout(spark, f"{sf_dir}/documents.parquet")
     doc = F.col("doc_id")
     aug = F.concat(
         F.col("text"),

@@ -42,7 +42,9 @@ PLANE_SEED = 0x1505    # fixed seed -> deterministic planes, no RNG state shippe
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from ..util.scans import read_parquet_fanout
+
+    return read_parquet_fanout(spark, f"{sf_dir}/embeddings.parquet")
 
 
 def _dot(a, b):

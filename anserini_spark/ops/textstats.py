@@ -9,6 +9,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..util.scans import read_parquet_fanout
+
 # small English function-word list for the heuristics (public knowledge)
 _EN_STOP = ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]
 _EN_RATIO = 0.05
@@ -16,7 +18,7 @@ _EN_RATIO = 0.05
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        read_parquet_fanout(spark, f"{sf_dir}/documents.parquet")
         .filter(F.col("text").isNotNull() & (F.trim(F.col("text")) != ""))
         .select("doc_id", "text")
     )

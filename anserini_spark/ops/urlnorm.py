@@ -72,7 +72,9 @@ def _messy_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     decorated with scheme/www/case/port/slash/query/fragment variants
     keyed on doc_id residues. The oracle rebuilds the SAME urls in
     SQL, so the gate exercises the canonicalizer end-to-end."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ..util.scans import read_parquet_fanout
+
+    d = read_parquet_fanout(spark, f"{sf_dir}/documents.parquet")
     doc = F.col("doc_id")
     page = F.floor(doc / 2).cast("long")
     scheme = F.when(doc % 3 == 0, F.lit("http")).otherwise(F.lit("https"))

@@ -1,0 +1,63 @@
+"""Scan fan-out for small unsplittable parquet inputs.
+
+Parquet files split at ROW-GROUP granularity: a table written as one
+file with one row group (duckdb's default for ~<=120K-row tables — the
+shape of every /root/testdata table) scans as ONE Spark task no matter
+how many cores the cluster has, and every stage fused into that scan
+(tokenize/explode kernels, regex passes, Arrow UDFs, partial
+aggregates) runs serially. Guide §2.5: "Input skew: one huge
+unsplittable file ... repartition immediately after the read."
+
+``read_parquet_fanout`` reads the path and round-robin repartitions to
+the session's default parallelism ONLY when both hold:
+
+* the scan yields fewer partitions than the session has cores, and
+* the input is small (default <= 1 GiB, override with
+  $SPARK_GRAFT_FANOUT_MAX_BYTES) so the one-time reshuffle is cheap
+  by construction.
+
+At production scale the input is many files / many row groups, the
+partition check fails, and the helper is a no-op — the guard keeps
+this a local-input fix, not a corpus-wide shuffle at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _local_bytes(path: str) -> int | None:
+    """Total size of a local file/dir, or None for non-local paths."""
+    p = path[5:] if path.startswith("file:") else path
+    if os.path.isfile(p):
+        return os.path.getsize(p)
+    if os.path.isdir(p):
+        total = 0
+        for root, _, files in os.walk(p):
+            for fn in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, fn))
+                except OSError:
+                    pass
+        return total
+    return None
+
+
+def read_parquet_fanout(spark: SparkSession, path: str,
+                        target: int | None = None) -> DataFrame:
+    df = spark.read.parquet(path)
+    want = target or spark.sparkContext.defaultParallelism
+    try:
+        have = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if have >= want:
+        return df
+    max_bytes = int(os.environ.get("SPARK_GRAFT_FANOUT_MAX_BYTES",
+                                   str(1 << 30)))
+    size = _local_bytes(path)
+    if size is None or size > max_bytes:
+        return df
+    return df.repartition(want)
