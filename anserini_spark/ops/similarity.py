@@ -103,6 +103,29 @@ def _cosine_vs_query_udf(qvec: "np.ndarray"):
     return cos
 
 
+def _cosine_pair_udf():
+    """(array<float>, array<float>) -> float64 cosine per row, one
+    Arrow batch at a time — same float32-product / float64-left-to-
+    right-accumulation sequence as ``_cosine_vs_query_udf`` (and as
+    the JVM aggregate/zip_with fold it replaced), so emitted doubles
+    are bit-identical to the round-6 expression."""
+
+    @pandas_udf("double")
+    def cos2(ea: pd.Series, eb: pd.Series) -> pd.Series:
+        ma = np.vstack(ea.to_numpy()).astype(np.float32)
+        mb = np.vstack(eb.to_numpy()).astype(np.float32)
+        dot = np.zeros(len(ma))
+        na = np.zeros(len(ma))
+        nb = np.zeros(len(ma))
+        for j in range(ma.shape[1]):  # left-to-right fold order
+            dot += (ma[:, j] * mb[:, j]).astype(np.float64)
+            na += (ma[:, j] * ma[:, j]).astype(np.float64)
+            nb += (mb[:, j] * mb[:, j]).astype(np.float64)
+        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+
+    return cos2
+
+
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 most-cosine-similar vectors to vec_id=0 (excluded),
     tie-broken by vec_id. The query vector is a driver-side 1-row
@@ -204,13 +227,12 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str,
                  F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("doc_b"),
                  F.col("embedding").alias("eb"))
+    cos2 = _cosine_pair_udf()
     return (
         a.join(b, F.col("doc_a") < F.col("doc_b"))
         .select(
             "doc_a", "doc_b",
-            F.round(_dot(F.col("ea"), F.col("eb"))
-                    / (_norm(F.col("ea")) * _norm(F.col("eb"))), 4)
-            .alias("cosine"),
+            F.round(cos2(F.col("ea"), F.col("eb")), 4).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -238,23 +260,30 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str,
         "vec_id", "embedding",
         F.posexplode("buckets").alias("band", "bucket"),
     )
-    a = bands.select(F.col("band"), F.col("bucket"),
-                     F.col("vec_id").alias("doc_a"),
-                     F.col("embedding").alias("ea"))
-    b = bands.select(F.col("band"), F.col("bucket"),
-                     F.col("vec_id").alias("doc_b"),
-                     F.col("embedding").alias("eb"))
+    # candidate join on NARROW rows (ids only, 16 bytes each): the
+    # round-6 plan carried BOTH embedding arrays through the
+    # (band, bucket) self-join and the dedup, which at a dense banding
+    # multiplies every duplicated candidate row by 2 x dim floats
+    # (guide §2.3 "shuffle keys and metadata instead of payloads" /
+    # §8). Embeddings are re-attached per SIDE after the dedup.
+    ids = bands.select("band", "bucket", "vec_id")
+    a = ids.select("band", "bucket", F.col("vec_id").alias("doc_a"))
+    b = ids.select("band", "bucket", F.col("vec_id").alias("doc_b"))
     cand = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    ea = e.select(F.col("vec_id").alias("doc_a"),
+                  F.col("embedding").alias("ea"))
+    eb = e.select(F.col("vec_id").alias("doc_b"),
+                  F.col("embedding").alias("eb"))
+    pairs = cand.join(ea, "doc_a").join(eb, "doc_b")
+    cos2 = _cosine_pair_udf()
     return (
-        cand.select(
+        pairs.select(
             "doc_a", "doc_b",
-            F.round(_dot(F.col("ea"), F.col("eb"))
-                    / (_norm(F.col("ea")) * _norm(F.col("eb"))), 4)
-            .alias("cosine"),
+            F.round(cos2(F.col("ea"), F.col("eb")), 4).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
