@@ -364,10 +364,14 @@ def _search_sdm_kernel(index: InvertedIndex, queries: Dict[int, str],
     fn = _sdm_segment_fn(
         bag_weights, pairs, (k1 * (1 - b), k1 * b / avgdl),
         dead_global=dead if len(dead) else None)
+    # three consumers (bag agg, pair dfs, pair scores): persist the
+    # kernel output or the positional decode + O(positions^2) window
+    # counting re-runs once per consumer (round 7, guide §1.2)
     rows = (
         blocks.filter(F.col("term").isin(all_terms))
         .groupBy("segment")
         .applyInPandas(fn, schema=SDM_ROWS_SCHEMA)
+        .persist()
     )
 
     def tfpart(tf_col, dl_col):
@@ -412,12 +416,11 @@ def _search_sdm_kernel(index: InvertedIndex, queries: Dict[int, str],
                     F.col("score") + F.coalesce(F.col("pairs"), F.lit(0.0)))
         .select("qid", "doc_id", "score")
     )
-    docmap = index.docmap.select("doc_id", "url")
-    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("url"))
-    ranked = (
-        score_df.join(docmap, "doc_id")
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= params.k)
-        .select("qid", F.col("url").alias("docid"), "rank", "score")
-    )
-    return adjust_score_ties(ranked).orderBy("qid", "rank")
+    # two-phase merge (searcher._finalize): rank-prune on the narrow
+    # (qid, doc_id, score) rows first — rank() keeps kth-score ties so
+    # the url tie-break stays exact — then broadcast the bounded
+    # survivors into a streamed docmap scan; the round-6 tail joined
+    # the FULL matching-doc stream with docmap before any pruning
+    from .searcher import _finalize
+
+    return _finalize(index, score_df, params.k)
