@@ -136,6 +136,28 @@ def _zh_text_expr():
     ).alias("text")
 
 
+
+def _src_digest(sf_dir: str) -> str:
+    """md5 of the documents parquet's file metadata (relpath, size,
+    mtime) — the gate-index cache key (round 7): any rewrite of the
+    source moves size or mtime, so an edited corpus gets a fresh
+    index dir without the round-6 full-content scan per call."""
+    import hashlib
+
+    src = f"{sf_dir}/documents.parquet"
+    parts = []
+    if os.path.isdir(src):
+        for root, _, files in sorted(os.walk(src)):
+            for fn in sorted(files):
+                st = os.stat(os.path.join(root, fn))
+                parts.append(
+                    f"{os.path.relpath(os.path.join(root, fn), src)}:"
+                    f"{st.st_size}:{st.st_mtime_ns}")
+    else:
+        st = os.stat(src)
+        parts.append(f"{os.path.basename(src)}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+
 def _gate_index(spark: SparkSession, sf_dir: str,
                 positions: bool = False, bigram: bool = False,
                 slice_part: str | None = None,
@@ -152,7 +174,11 @@ def _gate_index(spark: SparkSession, sf_dir: str,
     multislice gate. ``zh`` derives the Han-script corpus from the
     lang='zh' rows (see ZH_MAP) and indexes it through the CJK bigram
     analyzer chain."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ..util.scans import read_parquet_fanout
+
+    # fan out the single-row-group testdata scan so the first build's
+    # analyzer kernel parallelizes (no-op for multi-file inputs)
+    docs = read_parquet_fanout(spark, f"{sf_dir}/documents.parquet")
     if zh:
         docs = docs.filter(F.col("lang") == "zh")
     elif fr:
@@ -163,27 +189,7 @@ def _gate_index(spark: SparkSession, sf_dir: str,
         docs = docs.filter(F.col("doc_id") % 5 == 0)
     elif slice_part is not None:
         raise ValueError(f"slice_part must be 'a'/'b'/None: {slice_part}")
-    # cache key: digest of the source parquet's file metadata (path,
-    # size, mtime) instead of a content-scan aggregate — the round-6
-    # fingerprint ran a full (doc_id, text) scan + xxhash + collect on
-    # EVERY gate query (~0.4 s at sf1.0, paid 20x per gate sweep;
-    # guide §1.2 "don't compute things you throw away"). Any rewrite
-    # of the file moves size or mtime, so an edited corpus still gets
-    # a fresh index dir; a byte-identical regeneration merely rebuilds
-    # once, which only costs the first run.
-    import hashlib
-
-    src = f"{sf_dir}/documents.parquet"
-    parts = []
-    if os.path.isdir(src):
-        for root, _, files in sorted(os.walk(src)):
-            for fn in sorted(files):
-                st = os.stat(os.path.join(root, fn))
-                parts.append(f"{os.path.relpath(os.path.join(root, fn), src)}:{st.st_size}:{st.st_mtime_ns}")
-    else:
-        st = os.stat(src)
-        parts.append(f"{os.path.basename(src)}:{st.st_size}:{st.st_mtime_ns}")
-    fh = hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+    fh = _src_digest(sf_dir)
     from ..index.build import SEG_SHIFT
 
     # the zh/fr tags carry the chain's analysis_version so a future
@@ -326,15 +332,16 @@ IMPACT_QUERIES = {
 
 
 def _impact_gate_index(spark: SparkSession, sf_dir: str) -> str:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    fp = docs.agg(
-        F.count("*").alias("n"), F.max("doc_id").alias("m"),
-        F.bit_xor(F.xxhash64("doc_id", "text")).alias("h"),
-    ).collect()[0]
+    from ..util.scans import read_parquet_fanout
+
+    docs = read_parquet_fanout(spark, f"{sf_dir}/documents.parquet")
+    # file-metadata cache key, like _gate_index (round 7): the round-6
+    # content-scan fingerprint cost a full (doc_id, text) pass per call
+    fh = _src_digest(sf_dir)
     from ..index.build import SEG_SHIFT
 
     tag = (f"{os.path.basename(os.path.normpath(sf_dir))}"
-           f"_{fp['n']}_{fp['m']}_{(fp['h'] or 0) & 0xFFFFFFFFFFFF:x}"
+           f"_{fh}"
            f"_s{SEG_SHIFT}_imp{IMPACT_PRECISION}")
     out_dir = f"/tmp/anserini_gate_impidx_{tag}"
     from ..index.impact import build_impact_index
