@@ -122,32 +122,89 @@ def search_background_linking(
     reranker runs driver-side like the reference's."""
     spark = index.spark
     out_rows: List[Tuple[int, str, int, float]] = []
-    dates: Dict[str, object] = {}
+
+    # ---- batched topic-doc fetch (round 7, guide §1.2/§2.4): ONE
+    # column-pruned docvec scan serves every topic's term vector,
+    # stored contents (paragraph mode) and publication date (date
+    # filter) — the round-6 loop ran 1-2 full docvec scans PER topic
+    # (_doc_vector + _paragraph_vectors + the dates fetch).
+    dv = index.docvec
+    tcols = ["url", "terms", "tfs"]
+    if paragraph:
+        if "contents" not in dv.columns:
+            raise ValueError(
+                "paragraph mode needs an index built with "
+                "store_contents=True (the reference needs -storeRaw)")
+        tcols.append("contents")
     if date_filter:
-        dv = index.docvec
         if "warc_ts" not in dv.columns:
             raise ValueError(
                 "date_filter needs an index built with "
                 "store_timestamps=True (the PUBLISHED_DATE stored-"
                 "field analogue)")
-        dates = {r["url"]: r["warc_ts"] for r in dv.select(
-            "url", "warc_ts").filter(
-            F.col("url").isin(list(topics.values()))).collect()}
+        tcols.append("warc_ts")
+    topic_rows = {
+        r["url"]: r
+        for r in dv.select(*tcols)
+        .filter(F.col("url").isin(sorted(set(topics.values()))))
+        .collect()
+    }
+    for qid in sorted(topics):
+        if topics[qid] not in topic_rows:
+            raise ValueError(f"docid not found: {topics[qid]}")
+    dates: Dict[str, object] = {}
+    if date_filter:
+        dates = {u: r["warc_ts"] for u, r in topic_rows.items()}
+
+    # ---- batched query generation + ONE kernel search for every
+    # (topic[, paragraph]) query via synthetic int keys; per-key
+    # ranked lists are identical to per-topic searches (per-qid
+    # scoring in the kernel is independent)
+    an = index.analyze_query
+    skey = 0
+    boosts_all: Dict[int, Dict[str, float]] = {}
+    keys_of: Dict[int, List[int]] = {}
     for qid in sorted(topics):
         qdoc = topics[qid]
-        qvec = _doc_vector(index, qdoc)
+        row = topic_rows[qdoc]
+        qvec = dict(zip(row["terms"], row["tfs"]))
         if paragraph:
-            pvecs = _paragraph_vectors(index, qdoc) or [qvec]
-            lists = []
-            for pv in pvecs:
-                boosts = background_query(index, qdoc, k=k_terms,
-                                          weighted=weighted, vec=pv)
-                if not boosts:
-                    continue
-                hits = search_kernel(index, {qid: ""}, params,
-                                     boosts={qid: boosts}).collect()
-                lists.append(hits)
-            # round-robin merge with synthetic descending scores
+            paras = [p.strip() for p in
+                     re.split(r"\n\s*\n|\n", row["contents"] or "")
+                     if p.strip()][:5]
+            pvecs = []
+            for p in paras:
+                counts: Dict[str, int] = {}
+                for t in an(p):
+                    counts[t] = counts.get(t, 0) + 1
+                pvecs.append(counts)
+            pvecs = pvecs or [qvec]
+        else:
+            pvecs = [qvec]
+        keys_of[qid] = []
+        for pv in pvecs:
+            boosts = background_query(index, qdoc, k=k_terms,
+                                      weighted=weighted, vec=pv)
+            if not boosts:
+                continue
+            boosts_all[skey] = boosts
+            keys_of[qid].append(skey)
+            skey += 1
+    by_key: Dict[int, List] = {}
+    if boosts_all:
+        hits_df = search_kernel(index, {k: "" for k in boosts_all},
+                                params, boosts=boosts_all)
+        for r in hits_df.collect():
+            by_key.setdefault(r["qid"], []).append(r)
+        for rows in by_key.values():
+            rows.sort(key=lambda r: r["rank"])
+
+    # ---- batched candidate-vector fetch: one isin-pruned scan for
+    # ALL topics' candidates (round-6: one scan per topic)
+    per_qid_ranked: Dict[int, List[Tuple[str, float]]] = {}
+    for qid in sorted(topics):
+        lists = [by_key.get(k, []) for k in keys_of.get(qid, [])]
+        if paragraph:
             merged, row_idx = [], 0
             total = min(params.k, sum(len(x) for x in lists))
             while len(merged) < total:
@@ -155,27 +212,34 @@ def search_background_linking(
                     if row_idx < len(lst) and len(merged) < total:
                         merged.append(lst[row_idx])
                 row_idx += 1
-            ranked = [(h["docid"], float(params.k - i))
-                      for i, h in enumerate(merged)]
+            per_qid_ranked[qid] = [(h["docid"], float(params.k - i))
+                                   for i, h in enumerate(merged)]
         else:
-            boosts = background_query(index, qdoc, k=k_terms,
-                                      weighted=weighted, vec=qvec)
-            if not boosts:
-                continue
-            hits = search_kernel(index, {qid: ""}, params,
-                                 boosts={qid: boosts}).collect()
-            ranked = [(h["docid"], float(h["score"])) for h in hits]
+            hits = lists[0] if lists else []
+            if not keys_of.get(qid):
+                continue  # no query terms: topic emits nothing
+            per_qid_ranked[qid] = [(h["docid"], float(h["score"]))
+                                   for h in hits]
+    all_cand = sorted({d for ranked in per_qid_ranked.values()
+                       for d, _ in ranked})
+    vcols = ["url", "terms", "tfs"] + (
+        ["warc_ts"] if date_filter else [])
+    all_vec_rows = (index.docvec.select(*vcols)
+                    .filter(F.col("url").isin(all_cand)).collect()
+                    ) if all_cand else []
+    vecs = {r["url"]: dict(zip(r["terms"], r["tfs"]))
+            for r in all_vec_rows}
+    all_dates = ({r["url"]: r["warc_ts"] for r in all_vec_rows}
+                 if date_filter else {})
 
+    for qid in sorted(per_qid_ranked):
+        qdoc = topics[qid]
+        qvec = dict(zip(topic_rows[qdoc]["terms"],
+                        topic_rows[qdoc]["tfs"]))
+        ranked = per_qid_ranked[qid]
         # NewsBackgroundLinkingReranker: cosine dedup vs query doc +
-        # pairwise, earlier rank wins. One collect serves vectors AND
-        # candidate dates (when date-filtering).
-        cand_ids = [d for d, _ in ranked]
-        vcols = ["url", "terms", "tfs"] + (
-            ["warc_ts"] if date_filter else [])
-        vec_rows = (index.docvec.select(*vcols)
-                    .filter(F.col("url").isin(cand_ids)).collect())
-        vecs = {r["url"]: dict(zip(r["terms"], r["tfs"]))
-                for r in vec_rows}
+        # pairwise, earlier rank wins — driver-side k x k on <= k
+        # candidates, like the reference's
         removed: set = set()
         for i, (di, _) in enumerate(ranked):
             if i in removed:
@@ -196,9 +260,8 @@ def search_background_linking(
         # before being removed itself, exactly as there.
         if date_filter and qdoc in dates and dates[qdoc] is not None:
             qdate = dates[qdoc]
-            cand_dates = {r["url"]: r["warc_ts"] for r in vec_rows}
             for i, (di, _) in enumerate(ranked):
-                d = cand_dates.get(di)
+                d = all_dates.get(di)
                 if d is not None and d > qdate:
                     removed.add(i)
         rank = 0

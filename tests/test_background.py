@@ -100,3 +100,36 @@ def test_unknown_docid_raises(bg):
 
     with pytest.raises(ValueError, match="not found"):
         background_query(bg, "doc/missing")
+
+
+def test_batched_driver_runs_one_kernel_search(spark, bg, monkeypatch):
+    """Round-7 batching contract: the driver loop issues ONE kernel
+    search for the whole topic batch (not one per topic), and the
+    batched output equals per-topic runs concatenated."""
+    import anserini_spark.search.background as B
+    from anserini_spark.search.bm25 import BM25Params
+
+    params = BM25Params(k=10)
+    topics = {1: "doc/query", 2: "doc/rel1", 3: "doc/rel2"}
+
+    singles = []
+    for qid, d in topics.items():
+        singles.extend(
+            (qid, r["docid"], r["rank"], r["score"])
+            for r in B.search_background_linking(
+                bg, {qid: d}, params).collect())
+
+    calls = []
+    real = B.search_kernel
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(B, "search_kernel", counting)
+    batched = [
+        (r["qid"], r["docid"], r["rank"], r["score"])
+        for r in B.search_background_linking(bg, topics, params).collect()
+    ]
+    assert len(calls) == 1  # one kernel search for all topics
+    assert sorted(batched) == sorted(singles)
