@@ -148,19 +148,27 @@ def compact(spark: SparkSession, slice_dirs: list[str], cfg: IndexConfig,
             n = int(json.load(f)["num_docs"])
         tomb = tombstones_path(d)
         if os.path.isdir(tomb):
+            import pyarrow.compute as _pc
             import pyarrow.dataset as _ds
 
-            dead_urls = set(
-                _ds.dataset(tomb, format="parquet").to_table(
-                    columns=["url"])["url"].to_pylist())
-            # intersect with the slice's OWN urls: the delete CLI
-            # allows tombstoning docids that never existed (a no-op
-            # log entry), which must not deflate the live size
-            slice_urls = set(
-                _ds.dataset(os.path.join(d, "docvec.parquet"),
-                            format="parquet").to_table(
-                    columns=["url"])["url"].to_pylist())
-            n = max(0, n - len(dead_urls & slice_urls))
+            # O(deletes) driver memory: hold only the (deduped)
+            # tombstone urls and STREAM the docvec url column through
+            # an is_in count — the round-6 code materialized the
+            # slice's whole url column as a Python set, an O(corpus)
+            # driver hazard (round-6 ADVICE). Docvec urls are unique
+            # per slice, so the matching-row count IS the
+            # intersection size; tombstoned urls that never existed
+            # match nothing and cannot deflate the live size.
+            dead_urls = _ds.dataset(tomb, format="parquet").to_table(
+                columns=["url"])["url"].combine_chunks().unique()
+            matched = 0
+            dv_ds = _ds.dataset(os.path.join(d, "docvec.parquet"),
+                                format="parquet")
+            for batch in dv_ds.to_batches(columns=["url"]):
+                s = _pc.sum(_pc.is_in(batch["url"],
+                                      value_set=dead_urls)).as_py()
+                matched += int(s or 0)
+            n = max(0, n - matched)
         sizes.append(n)
     plan = plan_compaction(sizes, max_slices, merge_factor)
     if not plan:

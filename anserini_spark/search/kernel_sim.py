@@ -74,7 +74,11 @@ def _shape_inl2(df: int, cf: int, n: float, avgdl: float, sum_tf: float,
     basic = np.log((n + 1.0) / (df + 0.5)) / _LOG2
 
     def shape(tf, dl):
-        tfn = tf.astype(np.float64) * np.log1p(c * avgdl / dl.astype(np.float64)) / _LOG2
+        # log(1 + x), not log1p: the DuckDB oracle computes
+        # ln(1.0 + c*avgdl/dl) (rounds 1+x first) — same parity move
+        # as _shape_qljm (round-6 ADVICE)
+        tfn = tf.astype(np.float64) * np.log(
+            1.0 + c * avgdl / dl.astype(np.float64)) / _LOG2
         return tfn * basic / (tfn + 1.0)
 
     return shape
@@ -90,7 +94,9 @@ def _shape_spl(df: int, cf: int, n: float, avgdl: float, sum_tf: float,
         lam = 0.99
 
     def shape(tf, dl):
-        tfn = tf.astype(np.float64) * np.log1p(c * avgdl / dl.astype(np.float64)) / _LOG2
+        # log(1 + x), not log1p — oracle parity, see _shape_inl2
+        tfn = tf.astype(np.float64) * np.log(
+            1.0 + c * avgdl / dl.astype(np.float64)) / _LOG2
         return -np.log((lam ** (tfn / (tfn + 1.0)) - lam) / (1.0 - lam)) / _LOG2
 
     return shape
