@@ -14,9 +14,9 @@ Scale notes:
   it sparse. Candidate pairs are then verified with exact Jaccard, so
   output quality does not depend on LSH luck.
 * simhash — 60-bit signature per doc via weighted term-hash bit votes,
-  computed as ONE packed Arrow aggregate (collect_list -> numpy
-  bit-unpack + reduceat), not 60 per-bit sum columns; near-dup =
-  popcount(sig_a XOR sig_b) <= radius over banded candidates (exact
+  computed in ONE doc-local Arrow pass (per-doc term counts + md5
+  hashes + votes inside the kernel, zero shuffle — round 7); near-dup
+  = popcount(sig_a XOR sig_b) <= radius over banded candidates (exact
   15-bit chunk match as the band key — pigeonhole-complete at
   radius 3).
 """
@@ -150,9 +150,9 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str,
     shingle set into one array (tiny groupBy), and attaches the two
     arrays to the pair list with broadcast joins — the round-6 plan
     instead ran two SortMergeJoins + two aggregations over the FULL
-    2.6M-row shingle table (40-Exchange plan, ~60% of the op's wall).
-    Output is identical: same candidates, same exact-Jaccard float
-    math over the same distinct shingle sets."""
+    2.6M-row shingle table. Output is identical: same candidates,
+    same exact-Jaccard float math over the same distinct shingle
+    sets."""
     sh_cached = _shingles(spark, sf_dir).persist()
     sig = _signatures_from_shingles(sh_cached)
     rows_per_band = N_HASHES // n_bands

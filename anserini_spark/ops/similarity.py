@@ -2,9 +2,10 @@
 (vec_id bigint, embedding array<float>, label int).
 
 * ``cosine_topk`` — brute-force cosine top-k against a fixed query
-  vector (vec_id = 0), computed with built-in higher-order functions
-  (``aggregate``/``zip_with`` — JVM-side, no Python). DuckDB oracle via
-  ``list_cosine_similarity``.
+  vector (vec_id = 0), scored by a vectorized Arrow kernel whose
+  float32-product / left-to-right float64 accumulation is
+  bit-identical to the previous JVM ``aggregate``/``zip_with`` fold
+  (round 7). DuckDB oracle via ``list_cosine_similarity``.
 * ``ann_lsh_topk`` — the scale path: random-hyperplane LSH bucketing;
   candidates = vectors sharing a band bucket with the query, re-ranked
   by exact cosine. Rows-only driver check (plane-dependent); pytest
