@@ -656,12 +656,23 @@ def build_index(spark: SparkSession, corpus: DataFrame, cfg: IndexConfig,
         t0 = time.time()
         bl = spark.read.parquet(blocks_path)
         obs = Observation("dict_metrics")
+        agg = bl.groupBy("term").agg(
+            F.sum("n").alias("df"), F.sum("sum_tf").alias("cf"))
+        # layout: term-sorted files so query-time term_stats lookups
+        # prune at row-group granularity. Small dictionaries (bounded
+        # by the block count, known from the manifest) go to ONE
+        # globally-sorted file via coalesce — the ideal lookup layout,
+        # and it skips repartitionByRange's sampling job; large
+        # vocabularies keep the parallel range layout.
+        n_blocks = int(man.entries["blocks"].get("blocks", 1 << 30))
+        if n_blocks <= (1 << 20):
+            laid = agg.coalesce(1).sortWithinPartitions("term")
+        else:
+            laid = (agg.repartitionByRange(
+                        max(1, cfg.block_partitions // 4), "term")
+                    .sortWithinPartitions("term"))
         (
-            bl.groupBy("term")
-            .agg(F.sum("n").alias("df"), F.sum("sum_tf").alias("cf"))
-            .repartitionByRange(max(1, cfg.block_partitions // 4), "term")
-            .sortWithinPartitions("term")
-            .observe(obs, F.count(F.lit(1)).alias("terms"))
+            laid.observe(obs, F.count(F.lit(1)).alias("terms"))
             .write.mode("overwrite")
             .parquet(dict_path)
         )
