@@ -650,10 +650,21 @@ def build_index(spark: SparkSession, corpus: DataFrame, cfg: IndexConfig,
         )
 
     # ---- stage 4: dictionary + collection stats ------------------------
+    # dictionary (from blocks) and the stats segment-aggregation (from
+    # docvec) are independent jobs; run them concurrently so the
+    # second's tasks back-fill the first's tail (guide §2.6). Manifest
+    # records stay sequential below.
+    dict_fut = stats_fut = None
+    pool = None
+    if not man.done("dictionary") or not man.done("stats"):
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=2)
+
     if not man.done("dictionary"):
         from pyspark.sql import Observation
 
-        t0 = time.time()
+        t0_dict = time.time()
         bl = spark.read.parquet(blocks_path)
         obs = Observation("dict_metrics")
         agg = bl.groupBy("term").agg(
@@ -671,21 +682,16 @@ def build_index(spark: SparkSession, corpus: DataFrame, cfg: IndexConfig,
             laid = (agg.repartitionByRange(
                         max(1, cfg.block_partitions // 4), "term")
                     .sortWithinPartitions("term"))
-        (
-            laid.observe(obs, F.count(F.lit(1)).alias("terms"))
-            .write.mode("overwrite")
-            .parquet(dict_path)
-        )
-        man.record("dictionary", wall_s=round(time.time() - t0, 3),
-                   terms=int(obs.get["terms"]), bytes=_dir_bytes(dict_path),
-                   partition_bytes=_partition_bytes(dict_path))
+        dict_df = laid.observe(obs, F.count(F.lit(1)).alias("terms"))
+        dict_fut = pool.submit(
+            lambda: dict_df.write.mode("overwrite").parquet(dict_path))
 
     if not man.done("stats"):
-        t0 = time.time()
         # one per-segment aggregation yields num_docs/doc_count/sum_tf
         # AND the per-segment doc counts the scoring kernel needs
-        seg_rows = (
-            docvec.groupBy("segment")
+        t0_stats = time.time()
+        stats_fut = pool.submit(
+            lambda: docvec.groupBy("segment")
             .agg(
                 F.count("*").alias("cnt"),
                 F.sum("doclen").alias("sum_tf"),
@@ -693,6 +699,16 @@ def build_index(spark: SparkSession, corpus: DataFrame, cfg: IndexConfig,
             )
             .collect()
         )
+
+    if dict_fut is not None:
+        dict_fut.result()
+        man.record("dictionary", wall_s=round(time.time() - t0_dict, 3),
+                   terms=int(obs.get["terms"]), bytes=_dir_bytes(dict_path),
+                   partition_bytes=_partition_bytes(dict_path))
+
+    if stats_fut is not None:
+        seg_rows = stats_fut.result()
+        t0 = t0_stats
         uniq = man.entries["dictionary"].get("terms")
         if uniq is None:  # older manifests: fall back to a count job
             uniq = spark.read.parquet(dict_path).count()
@@ -712,4 +728,6 @@ def build_index(spark: SparkSession, corpus: DataFrame, cfg: IndexConfig,
         man.record("stats", wall_s=round(time.time() - t0, 3), **{
             k: v for k, v in stats.items() if k != "segments"})
 
+    if pool is not None:
+        pool.shutdown(wait=False)
     return man.entries
