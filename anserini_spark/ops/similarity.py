@@ -42,10 +42,29 @@ N_BANDS = 4
 PLANE_SEED = 0x1505    # fixed seed -> deterministic planes, no RNG state shipped
 
 
-def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _emb(spark: SparkSession, sf_dir: str,
+         min_rows: int = 16384) -> DataFrame:
     from ..util.scans import read_parquet_fanout
 
-    return read_parquet_fanout(spark, f"{sf_dir}/embeddings.parquet")
+    # the LINEAR consumers' (vs-query cosine, band signatures, cell
+    # assignment) per-row work is a vectorized numpy kernel, so
+    # fanning out a tiny table costs more than the serial kernel it
+    # parallelizes — same floor rationale as corpus_queries._docs
+    # (measured: cosine_topk 0.74 -> 0.57 s at sf0.1's 2 K rows,
+    # identical output). The QUADRATIC near-dup self-join paths pass
+    # min_rows=0: their candidate volume is O(pairs), the broadcast
+    # verify chain inherits the scan's partitioning, and a 1-partition
+    # scan serializes it (measured 5.8 s vs 2.2 s fanned at the gate
+    # banding, sf0.1).
+    return read_parquet_fanout(spark, f"{sf_dir}/embeddings.parquet",
+                               min_rows=min_rows)
+
+
+def _emb_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain (non-fanned) scan for driver-side point lookups: the
+    equality filter pushes into the parquet scan and no round-robin
+    Exchange sits between scan and first()."""
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def _dot(a, b):
@@ -133,7 +152,8 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lookup (pushed-down equality filter, like ``ann_lsh_topk``'s dim
     probe); scoring runs in one Arrow kernel per batch."""
     e = _emb(spark, sf_dir)
-    qrow = e.filter(F.col("vec_id") == 0).select("embedding").first()
+    qrow = _emb_lookup(spark, sf_dir).filter(
+        F.col("vec_id") == 0).select("embedding").first()
     if qrow is None:
         return spark.createDataFrame(
             [], "vec_id bigint, rank int, cosine double")
@@ -182,7 +202,8 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str,
     >=1 of n_bands LSH band values with the query; exact cosine
     re-rank."""
     e = emb if emb is not None else _emb(spark, sf_dir)
-    dim = len(e.select("embedding").first()["embedding"])
+    probe = _emb_lookup(spark, sf_dir) if emb is None else e
+    dim = len(probe.select("embedding").first()["embedding"])
     buckets = _band_buckets_udf(dim, n_planes, n_bands)
     sig = e.select("vec_id", "embedding",
                    buckets(F.col("embedding")).alias("buckets"))
@@ -221,9 +242,8 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str,
     vec_id < max_vec — like ``ngram_jaccard_pairs``, this is the
     deliberately bounded brute baseline the LSH path approximates
     (oracled against DuckDB). (doc_a, doc_b, cosine) with a < b."""
-    e = _emb(spark, sf_dir).filter(F.col("vec_id") < max_vec).select(
-        "vec_id", "embedding"
-    )
+    e = _emb(spark, sf_dir, min_rows=0).filter(
+        F.col("vec_id") < max_vec).select("vec_id", "embedding")
     a = e.select(F.col("vec_id").alias("doc_a"),
                  F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("doc_b"),
@@ -250,9 +270,12 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str,
     vs the exact baseline is pinned by pytest on a clustered fixture;
     the external gate runs the high-recall banding of
     ``embedding_neardup_lsh_gate``."""
-    e = emb if emb is not None else _emb(spark, sf_dir)
+    # min_rows=0: the pair-verify chain inherits the scan partitioning
+    # through broadcast joins — see _emb's docstring
+    e = emb if emb is not None else _emb(spark, sf_dir, min_rows=0)
+    probe = _emb_lookup(spark, sf_dir) if emb is None else e
     e = e.select("vec_id", "embedding")
-    dim = len(e.select("embedding").first()["embedding"])
+    dim = len(probe.select("embedding").first()["embedding"])
     buckets = _band_buckets_udf(dim, n_planes, n_bands)
     bands = e.select(
         "vec_id", "embedding",
@@ -384,25 +407,30 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str,
     the corpus, and the cell assignment is one matmul per Arrow
     batch."""
     e = emb if emb is not None else _emb(spark, sf_dir)
+    # driver-side lookups (count / quantizer sample / query vector) go
+    # through the plain scan when we own the source: pushed-down
+    # filters reach parquet and no round-robin Exchange runs per job
+    lk = (_emb_lookup(spark, sf_dir) if emb is None else e).select(
+        "vec_id", "embedding")
     e = e.select("vec_id", "embedding")
     # deterministic HASH-based sample (not first-N by id): on corpora
     # clustered by id, orderBy(id).limit(n) trains the quantizer on one
     # region and nprobe recall collapses. xxhash64 decorrelates the
     # sample from the id layout; the orderBy after the filter only
     # makes the surviving ~sample_n rows deterministic.
-    total = e.count()
+    total = lk.count()
     stride = max(1, total // sample_n)
     sample = np.array(
         [r["embedding"] for r in
-         e.filter(F.pmod(F.xxhash64("vec_id"), F.lit(stride)) == 0)
-          .orderBy("vec_id").limit(sample_n).collect()],
+         lk.filter(F.pmod(F.xxhash64("vec_id"), F.lit(stride)) == 0)
+           .orderBy("vec_id").limit(sample_n).collect()],
         dtype=np.float64,
     )
     centroids = _kmeans(sample, nlist)
     cell = _cell_udf(centroids)
     cells = e.withColumn("cell", cell(F.col("embedding")))
 
-    q = e.filter(F.col("vec_id") == 0).first()
+    q = lk.filter(F.col("vec_id") == 0).first()
     qv = np.array(q["embedding"], dtype=np.float64)
     d = ((centroids - qv[None, :]) ** 2).sum(axis=1)
     probe = [int(c) for c in d.argsort()[:nprobe]]
@@ -487,7 +515,7 @@ def ann_ivf_topk_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(os.path.join(out_dir, "manifest.json")):
         build_ivf_index(spark, e, out_dir, nlist=IVF_NLIST)
     idx = IVFIndex(spark, out_dir)
-    q = e.filter(F.col("vec_id") == 0).first()
+    q = _emb_lookup(spark, sf_dir).filter(F.col("vec_id") == 0).first()
     return idx.search(list(q["embedding"]), k=TOPK,
                       nprobe=idx.manifest["nlist"], exclude_vec_id=0)
 
